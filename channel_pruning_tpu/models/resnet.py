@@ -1,0 +1,98 @@
+"""ResNet-50 graph builder (Caffe naming: res2a_branch2a / bn2a_branch2a /
+scale2a_branch2a ..., matching the reference's temp/resnet-50-cp.prototxt
+topology so pruned-graph golden checks can compare layer-for-layer).
+
+The pruned variant inserts `Select` layers (our static channel gather — the
+TPU-native equivalent of the Caffe fork's `Filter` layer with
+filter_param.num_output, temp/resnet-50-cp.prototxt:109-120) in front of each
+residual block's branch2a conv.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from channel_pruning_tpu.graph.ir import Graph, Layer, LT, TensorSpec
+
+RESNET50_FLOPS = 5_036_310_528  # original multiply count (lib/net.py:1084)
+
+# (stage index, number of blocks, bottleneck width, output width)
+RESNET50_STAGES = ((2, 3, 64, 256), (3, 4, 128, 512), (4, 6, 256, 1024), (5, 3, 512, 2048))
+
+_BLOCK_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _conv_bn(layers: list[Layer], name: str, bottom: str, num_output: int,
+             kernel: int, stride: int, pad: int, bn_prefix: str, relu: bool,
+             inplace: bool = True) -> str:
+    layers.append(Layer.make(name, LT.CONV, [bottom], num_output=num_output,
+                             kernel_size=kernel, stride=stride, pad=pad, bias=False))
+    layers.append(Layer.make(f"bn{bn_prefix}", LT.BN, [name], [name], eps=1e-9))
+    layers.append(Layer.make(f"scale{bn_prefix}", LT.SCALE, [name], [name], bias=True))
+    if relu:
+        layers.append(Layer.make(f"{name}_relu", LT.RELU, [name], [name]))
+    return name
+
+
+def build_resnet50(batch: int = 10, image_size: int = 224, num_classes: int = 1000,
+                   stages=RESNET50_STAGES, stem_width: int = 64,
+                   name: str = "resnet50") -> Graph:
+    layers: list[Layer] = []
+    _conv_bn(layers, "conv1", "data", stem_width, kernel=7, stride=2, pad=3,
+             bn_prefix="_conv1", relu=True)
+    layers.append(Layer.make("pool1", LT.POOL, ["conv1"], pool="max",
+                             kernel_size=3, stride=2))
+    prev = "pool1"
+
+    for stage, blocks, width, out_width in stages:
+        for bi in range(blocks):
+            letter = _BLOCK_LETTERS[bi]
+            tag = f"{stage}{letter}"
+            block = f"res{tag}"
+            stride = 2 if (bi == 0 and stage > 2) else 1
+            if bi == 0:
+                shortcut = _conv_bn(layers, f"{block}_branch1", prev, out_width,
+                                    kernel=1, stride=stride, pad=0,
+                                    bn_prefix=f"{tag}_branch1", relu=False)
+            else:
+                shortcut = prev
+            b2a = _conv_bn(layers, f"{block}_branch2a", prev, width, kernel=1,
+                           stride=stride, pad=0, bn_prefix=f"{tag}_branch2a", relu=True)
+            b2b = _conv_bn(layers, f"{block}_branch2b", b2a, width, kernel=3,
+                           stride=1, pad=1, bn_prefix=f"{tag}_branch2b", relu=True)
+            b2c = _conv_bn(layers, f"{block}_branch2c", b2b, out_width, kernel=1,
+                           stride=1, pad=0, bn_prefix=f"{tag}_branch2c", relu=False)
+            layers.append(Layer.make(block, LT.ELTWISE, [shortcut, b2c], operation="sum"))
+            layers.append(Layer.make(f"{block}_relu", LT.RELU, [block], [block]))
+            prev = block
+
+    layers.append(Layer.make("pool5", LT.POOL, [prev], pool="ave",
+                             global_pooling=True))
+    layers.append(Layer.make("fc1000", LT.FC, ["pool5"], num_output=num_classes, bias=True))
+    layers.append(Layer.make("prob", LT.SOFTMAX, ["fc1000"]))
+
+    g = Graph(name=name,
+              inputs=(TensorSpec("data", (batch, 3, image_size, image_size)),),
+              layers=tuple(layers))
+    g.validate()
+    return g
+
+
+def build_tiny_resnet(batch: int = 4, image_size: int = 32, num_classes: int = 10,
+                      seed: int = 0):
+    """Miniature bottleneck ResNet for CPU tests (2 stages, 2 blocks each)."""
+    from channel_pruning_tpu.models.vgg import init_params
+
+    stages = ((2, 2, 8, 16), (3, 2, 12, 24))
+    g = build_resnet50(batch=batch, image_size=image_size, num_classes=num_classes,
+                       stages=stages, stem_width=8, name="tiny_resnet")
+    params = init_params(g, seed=seed)
+    # give BN layers non-trivial statistics so fold/merge tests are meaningful
+    rng = np.random.default_rng(seed + 1)
+    for lname, p in params.items():
+        if "mean" in p:
+            p["mean"] = rng.normal(0, 0.1, p["mean"].shape).astype(np.float32)
+            p["var"] = (1.0 + rng.uniform(0, 0.5, p["var"].shape)).astype(np.float32)
+        if lname.startswith("scale"):
+            p["W"] = (1.0 + rng.normal(0, 0.1, p["W"].shape)).astype(np.float32)
+            p["b"] = rng.normal(0, 0.1, p["b"].shape).astype(np.float32)
+    return g, params
