@@ -1,0 +1,211 @@
+"""Low-rank decompositions on device: spatial (VH) SVD and ReLU-aware
+channel decomposition (ITQ), plus the nonlinear (ReLU-ALS) least-squares fit.
+
+Capability parity with lib/decompose.py:85-147 (VH_decompose), 163-319
+(ITQ_decompose), 671-685 (nonlinear_fc), redesigned for TPU:
+
+* the per-iteration rank-k SVD truncation of the (N x d) matrix in ITQ is
+  replaced by an eigendecomposition of the (d x d) projected Gram — exact
+  same truncation (right singular vectors), but the O(N) work per iteration
+  collapses to two MXU matmuls (see `itq_decompose`), and
+* the ALS least-squares refits reuse one Cholesky factorisation of the fixed
+  design matrix instead of refitting from scratch each iteration.
+
+SVD factors are sign/rotation ambiguous vs scipy gesvd, so parity is
+validated on reconstruction error, not factor equality (SURVEY.md §7).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from channel_pruning_tpu.ops import lstsq
+
+
+# ---------------------------------------------------------------------------
+# nonlinear (ReLU-aware) linear fit
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("lambdas", "iters"))
+def nonlinear_fit(X: jax.Array, Y: jax.Array,
+                  lambdas: tuple[float, ...] = (0.1, 1.0),
+                  iters: tuple[int, ...] = (30, 20),
+                  ) -> tuple[jax.Array, jax.Array]:
+    """Fit relu(X W.T + b) ≈ relu(Y) by alternating least squares with the
+    closed-form ReLU relaxation (decompose.py:671-685 schedule)."""
+    f = lstsq.factor(X)
+    Z = jnp.maximum(Y, 0.0)
+
+    def step(U, lam):
+        W, b = lstsq.solve(f, X, U)
+        RU = X @ W.T + b
+        return lstsq.solve_relu(RU, Z, lam)
+
+    U = Y
+    for lam, n_it in zip(lambdas, iters):
+        U = jax.lax.fori_loop(0, n_it, lambda _, u: step(u, lam), U)
+    return lstsq.solve(f, X, U)
+
+
+# ---------------------------------------------------------------------------
+# spatial decomposition (VH)
+# ---------------------------------------------------------------------------
+
+class VHResult(NamedTuple):
+    V: jax.Array      # (rank, c, kh, 1) vertical conv
+    H: jax.Array      # (n, rank, 1, kw) horizontal conv
+    VHr: jax.Array    # (n, c, kh, kw) rank-limited reconstruction of W
+    b: jax.Array | None  # refit bias when data given
+
+
+def vh_decompose(W: jax.Array, rank: int, X: jax.Array | None = None,
+                 Y: jax.Array | None = None,
+                 lambdas: tuple[float, ...] = (0.1, 1.0),
+                 iters: tuple[int, ...] = (30, 20)) -> VHResult:
+    """Split a (n, c, kh, kw) conv into vertical (rank, c, kh, 1) and
+    horizontal (n, rank, 1, kw) convs via SVD of the (c*kh, n*kw) unfolding;
+    with calibration data (X patches (N, c, kh, kw), Y responses (N, n)) the
+    horizontal factor + bias are refit with the ReLU-aware ALS
+    (decompose.py:85-147)."""
+    n, c, kh, kw = W.shape
+    M = jnp.transpose(W, (1, 2, 0, 3)).reshape(c * kh, n * kw)
+    U, s, Vt = jnp.linalg.svd(M, full_matrices=False)
+    Uk = U[:, :rank]                       # (c*kh, rank)
+    Hk = s[:rank, None] * Vt[:rank]        # (rank, n*kw)
+
+    V = jnp.transpose(Uk.reshape(c, 1, kh, rank), (3, 0, 2, 1))  # (rank,c,kh,1)
+
+    if X is not None:
+        # data-driven refit of H: project patches through V, fit to Y
+        # Xv[n, p, r] = sum_{c,kh} X[n,c,kh,p] * V[r,c,kh,0]
+        Xv = jnp.einsum("nchp,rch->npr", X.astype(jnp.float32),
+                        V[..., 0].astype(jnp.float32))
+        # layout (rank, kw) row-major per sample, matching H's (r, 1, kw) axes
+        Xflat = jnp.transpose(Xv, (0, 2, 1)).reshape(X.shape[0], rank * kw)
+        Wh, b = nonlinear_fit(Xflat, Y.astype(jnp.float32), lambdas, iters)
+        H = Wh.reshape(n, rank, 1, kw)
+        Hk = jnp.transpose(H[:, :, 0, :], (1, 0, 2)).reshape(rank, n * kw)
+    else:
+        H = jnp.transpose(Hk.reshape(rank, n, kw, 1), (1, 0, 3, 2))
+        b = None
+
+    VHr = (Uk @ Hk).reshape(c, kh, n, kw)
+    VHr = jnp.transpose(VHr, (2, 0, 1, 3))
+    return VHResult(V=V, H=H, VHr=VHr, b=b)
+
+
+# ---------------------------------------------------------------------------
+# ReLU-aware channel decomposition (ITQ)
+# ---------------------------------------------------------------------------
+
+class ITQResult(NamedTuple):
+    W1: jax.Array    # folded producer weights: (rank,) + H_weight.shape[1:]
+    W2: jax.Array    # new 1x1 conv: (d, rank, 1, 1)
+    B: jax.Array     # bias (d,)
+    W12: jax.Array   # merged low-rank producer (for asymmetric overwrite)
+
+
+def _pinv_psd(A: jax.Array, rcond: float = 1e-6) -> jax.Array:
+    """Pseudo-inverse of a PSD matrix via eigh (scipy.linalg.pinv(x, 1e-6)
+    analogue, decompose.py:149-152)."""
+    w, v = jnp.linalg.eigh(A)
+    cutoff = rcond * jnp.max(jnp.abs(w))
+    inv_w = jnp.where(w > cutoff, 1.0 / w, 0.0)
+    return (v * inv_w) @ v.T
+
+
+@functools.partial(jax.jit, static_argnames=("rank", "lambdas", "iters"))
+def _itq_solve_T(feature: jax.Array, gt_feature: jax.Array, rank: int,
+                 lambdas: tuple[float, ...], iters: tuple[int, ...]
+                 ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Core ITQ alternating solve. Returns (T, Y_mean, U_mean).
+
+    feature: (N, d) current responses; gt_feature: (N, d) ground truth.
+    Alternates (a) rank-k projection of the ridge solution U ≈ G T with
+    (b) the closed-form ReLU regression (decompose.py:204-247). The rank-k
+    truncation of X = G M uses eigh of the d x d matrix Mᵀ(GᵀG)M — the top-k
+    right singular vectors of X — so no N-sized SVD appears in the loop.
+    """
+    Z = jnp.maximum(gt_feature, 0.0)
+    Y_mean = jnp.mean(feature, axis=0)
+    G = feature - Y_mean                          # (N, d)
+    GtG = G.T @ G
+    GtG = 0.5 * (GtG + GtG.T)
+    PG = _pinv_psd(GtG)
+
+    U_mean0 = Y_mean
+    UU0 = G
+
+    def iteration(carry, lam):
+        UU, U_mean = carry
+        S = G.T @ UU                              # (d, d) MXU over N
+        M = PG @ S
+        XtX = M.T @ GtG @ M
+        XtX = 0.5 * (XtX + XtX.T)
+        w, v = jnp.linalg.eigh(XtX)
+        Vk = v[:, -rank:]                         # top-k right singular vecs
+        T = M @ Vk @ Vk.T                         # = PGGt · trunc_k(G M)
+        RU = G @ T + U_mean
+        U = lstsq.solve_relu(RU, Z, lam)
+        U_mean = jnp.mean(U, axis=0)
+        return (U - U_mean, U_mean), T
+
+    carry = (UU0, U_mean0)
+    T = None
+    for lam, n_it in zip(lambdas, iters):
+        def body(_, c):
+            c2, _t = iteration(c, lam)
+            return c2
+        # need T from the last iteration: unroll final step explicitly
+        carry = jax.lax.fori_loop(0, n_it - 1, body, carry)
+        carry, T = iteration(carry, lam)
+    _, U_mean = carry
+    return T, Y_mean, U_mean
+
+
+def itq_decompose(feature: np.ndarray | jax.Array, gt_feature, weight, rank: int,
+                  bias=None, Wr=None, lambdas: tuple[float, ...] = (0.1, 1.0),
+                  iters: tuple[int, ...] = (30, 20)) -> ITQResult:
+    """ReLU-aware channel decomposition (decompose.py:163-319).
+
+    feature (N, d): responses of the current (already spatially decomposed)
+    conv; gt_feature (N, d): ground-truth responses; weight: the H conv
+    (d, r, 1, kw) to fold the left factor into; Wr: the merged VHr weights
+    (d, c, kh, kw) for the asymmetric overwrite. Produces the rank-`rank`
+    factorisation d -> rank (folded into H / Wr) plus a 1x1 conv rank -> d.
+    """
+    feature = jnp.asarray(feature, jnp.float32)
+    gt_feature = jnp.asarray(gt_feature, jnp.float32)
+    weight = jnp.asarray(weight, jnp.float32)
+    d = feature.shape[1]
+    assert weight.shape[0] == d, (weight.shape, d)
+
+    T, Y_mean, U_mean = _itq_solve_T(feature, gt_feature, rank, tuple(lambdas),
+                                     tuple(iters))
+
+    L, s, Rt = jnp.linalg.svd(T, full_matrices=False)
+    L = L[:, :rank]                                # (d, rank)
+    R = s[:rank, None] * Rt[:rank]                 # (rank, d)
+
+    def fold_left(Wfull):
+        # (d, a, b, c) -> contract output channels with L -> (rank, a, b, c)
+        Wt = jnp.transpose(Wfull, (1, 2, 3, 0)).reshape(-1, d)
+        out = Wt @ L                               # (abc, rank)
+        out = out.reshape(Wfull.shape[1:] + (rank,))
+        return jnp.transpose(out, (3, 0, 1, 2))
+
+    W1 = fold_left(weight)
+    Wr_arr = weight if Wr is None else jnp.asarray(Wr, jnp.float32)
+    Wt = jnp.transpose(Wr_arr, (1, 2, 3, 0)).reshape(-1, d)
+    W12 = (Wt @ L @ R).reshape(Wr_arr.shape[1:] + (d,))
+    W12 = jnp.transpose(W12, (3, 0, 1, 2))
+
+    W2 = R.T.reshape(d, rank, 1, 1)
+    B = -Y_mean @ T + U_mean
+    if bias is not None:
+        B = B + jnp.asarray(bias, jnp.float32)
+    return ITQResult(W1=W1, W2=W2, B=B, W12=W12)

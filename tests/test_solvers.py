@@ -1,0 +1,202 @@
+"""Device solver parity vs numpy/sklearn oracles (BASELINE config 1)."""
+import numpy as np
+import pytest
+
+from channel_pruning_tpu.ops import lasso, lstsq, lowrank, oracle
+
+
+# --------------------------------------------------------------------------
+# least squares
+# --------------------------------------------------------------------------
+
+def test_fit_linear_matches_lstsq(rng):
+    X = rng.normal(size=(500, 40)).astype(np.float32)
+    Wtrue = rng.normal(size=(8, 40)).astype(np.float32)
+    Y = X @ Wtrue.T + rng.normal(size=8).astype(np.float32) + \
+        0.01 * rng.normal(size=(500, 8)).astype(np.float32)
+    W, b = lstsq.fit_linear(X, Y)
+    Wo, bo = oracle.lstsq_fit(X, Y)
+    np.testing.assert_allclose(np.asarray(W), Wo, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(b), bo, rtol=1e-3, atol=1e-3)
+
+
+def test_factor_solve_reuse(rng):
+    X = rng.normal(size=(300, 20)).astype(np.float32)
+    f = lstsq.factor(X)
+    for i in range(3):
+        Y = rng.normal(size=(300, 5)).astype(np.float32)
+        W, b = lstsq.solve(f, X, Y)
+        Wo, bo = oracle.lstsq_fit(X, Y)
+        np.testing.assert_allclose(np.asarray(W), Wo, rtol=1e-3, atol=1e-4)
+
+
+def test_solve_relu_matches(rng):
+    RU = rng.normal(size=(50, 7)).astype(np.float32)
+    Z = np.maximum(rng.normal(size=(50, 7)), 0).astype(np.float32)
+    for lam in (0.1, 1.0):
+        got = np.asarray(lstsq.solve_relu(RU, Z, lam))
+        np.testing.assert_allclose(got, oracle.solve_relu(RU, Z, lam),
+                                   rtol=1e-5, atol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# LASSO
+# --------------------------------------------------------------------------
+
+def _sparse_problem(rng, n=600, c=32, k=8, noise=0.01):
+    Z = rng.normal(size=(n, c)).astype(np.float32)
+    beta = np.zeros(c, np.float32)
+    idx = rng.choice(c, k, replace=False)
+    beta[idx] = rng.normal(0, 1, k).astype(np.float32) + \
+        np.sign(rng.normal(size=k)).astype(np.float32)
+    y = Z @ beta + noise * rng.normal(size=n).astype(np.float32)
+    return Z, y, beta
+
+
+def test_cd_matches_sklearn_coefficients(rng):
+    Z, y, _ = _sparse_problem(rng)
+    alpha = 0.05
+    gram = lasso.lasso_gram(Z, y)
+    beta = np.asarray(lasso.cd_solve(gram.G, gram.b, alpha * gram.n_samples,
+                                     np.zeros(Z.shape[1], np.float32),
+                                     n_sweeps=2000))
+    _, coef = oracle.sklearn_lasso_support(Z, y, alpha)
+    np.testing.assert_allclose(beta, coef, rtol=5e-3, atol=1e-3)
+    assert ((beta != 0) == (coef != 0)).all()
+
+
+def test_cd_grid_supports_monotone(rng):
+    Z, y, _ = _sparse_problem(rng)
+    gram = lasso.lasso_gram(Z, y)
+    alphas = np.geomspace(1e-4, 1.0, 12).astype(np.float32) * gram.n_samples
+    betas = lasso.cd_solve_grid(gram.G, gram.b, alphas, n_sweeps=500)
+    supports = np.asarray(lasso.support_sizes(betas))
+    assert supports[0] >= supports[-1]
+    assert supports[-1] == 0 or alphas[-1] < np.abs(gram.b).max()
+
+
+def test_search_alpha_hits_band(rng):
+    Z, y, _ = _sparse_problem(rng, c=48, k=20)
+    gram = lasso.lasso_gram(Z, y)
+    rank = 12
+    mask, alpha, support = lasso.search_alpha(gram, rank, rank_tol=0.1,
+                                              alpha0=1e-3)
+    assert rank <= support <= rank + max(1, int(0.1 * rank) + 1)
+    assert mask.sum() == support
+    # selected support must agree with sklearn at the same alpha
+    sk_mask, _ = oracle.sklearn_lasso_support(Z, y, alpha)
+    agreement = (mask == sk_mask).mean()
+    assert agreement > 0.9, f"support agreement {agreement}"
+
+
+def test_search_alpha_full_rank(rng):
+    Z, y, _ = _sparse_problem(rng, c=16)
+    gram = lasso.lasso_gram(Z, y)
+    mask, alpha, support = lasso.search_alpha(gram, 16, 0.1)
+    assert mask.all() and support == 16
+
+
+def test_build_channel_response(rng):
+    N, c, n, k = 20, 6, 4, 3
+    X = rng.normal(size=(N, c, k, k)).astype(np.float32)
+    W2 = rng.normal(size=(n, c, k, k)).astype(np.float32)
+    Z = np.asarray(lasso.build_channel_response(X, W2))
+    assert Z.shape == (N * n, c)
+    # summing channel responses must equal the full conv response
+    full = oracle.conv_response_at_points(X, W2)  # (N, n)
+    np.testing.assert_allclose(Z.sum(-1).reshape(N, n), full, rtol=1e-4, atol=1e-4)
+    # and each column i must be X[:, i] * W2[:, i] alone
+    Z0 = oracle.conv_response_at_points(X[:, :1], W2[:, :1])
+    np.testing.assert_allclose(Z[:, 0].reshape(N, n), Z0, rtol=1e-4, atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# low-rank decompositions
+# --------------------------------------------------------------------------
+
+def test_vh_reconstruction_error(rng):
+    W = rng.normal(size=(16, 8, 3, 3)).astype(np.float32)
+    full_rank = 8 * 3
+    res = lowrank.vh_decompose(W, rank=full_rank)
+    np.testing.assert_allclose(np.asarray(res.VHr), W, rtol=1e-3, atol=1e-4)
+    _, _, VHr_o = oracle.vh_svd(W, 12)
+    res12 = lowrank.vh_decompose(W, rank=12)
+    err_dev = oracle.rel_error(W, np.asarray(res12.VHr))
+    err_np = oracle.rel_error(W, VHr_o)
+    assert abs(err_dev - err_np) < 1e-3
+
+
+def test_vh_factor_shapes(rng):
+    W = rng.normal(size=(16, 8, 3, 3)).astype(np.float32)
+    res = lowrank.vh_decompose(W, rank=5)
+    assert res.V.shape == (5, 8, 3, 1)
+    assert res.H.shape == (16, 5, 1, 3)
+    # V then H composed as convs must equal VHr as a single conv:
+    # W_vh[n,c,kh,kw] = sum_r H[n,r,0,kw] * V[r,c,kh,0]
+    comp = np.einsum("nrw,rch->nchw", np.asarray(res.H)[:, :, 0, :],
+                     np.asarray(res.V)[:, :, :, 0])
+    np.testing.assert_allclose(comp, np.asarray(res.VHr), rtol=1e-3, atol=1e-4)
+
+
+def test_vh_data_refit_improves_nonlinear_fit(rng):
+    n, c, N = 12, 6, 400
+    W = rng.normal(size=(n, c, 3, 3)).astype(np.float32)
+    X = rng.normal(size=(N, c, 3, 3)).astype(np.float32)
+    Y = oracle.conv_response_at_points(X, W).astype(np.float32)
+    rank = 10
+    plain = lowrank.vh_decompose(W, rank=rank)
+    refit = lowrank.vh_decompose(W, rank=rank, X=X, Y=Y, iters=(10, 5))
+    def err(res):
+        pred = oracle.conv_response_at_points(X, np.asarray(res.VHr))
+        if res.b is not None:
+            pred = pred + np.asarray(res.b)
+        return oracle.rel_error(oracle.relu(Y), oracle.relu(pred))
+    assert err(refit) <= err(plain) * 1.05
+    assert refit.b is not None
+
+
+def test_itq_matches_oracle_truncation(rng):
+    """Device eigh-based rank truncation == oracle N-sized-SVD truncation."""
+    N, d, rank = 300, 24, 10
+    low = rng.normal(size=(N, rank)) @ rng.normal(size=(rank, d))
+    feature = (low + 0.05 * rng.normal(size=(N, d))).astype(np.float32)
+    gt = (low + 0.05 * rng.normal(size=(N, d))).astype(np.float32)
+    T_dev, Ym_dev, Um_dev = lowrank._itq_solve_T(
+        feature, gt, rank, (0.1, 1.0), (5, 3))
+    T_o, Ym_o, Um_o = oracle.itq_reference(
+        feature.astype(np.float64), gt.astype(np.float64), rank,
+        lambdas=(0.1, 1.0), iters=(5, 3))
+    # compare reconstructed responses, not factors
+    G = feature - feature.mean(0)
+    ru_dev = G @ np.asarray(T_dev, np.float64) + np.asarray(Um_dev, np.float64)
+    ru_o = G.astype(np.float64) @ T_o + Um_o
+    assert oracle.rel_error(ru_o, ru_dev) < 5e-3
+
+
+def test_itq_decompose_shapes_and_reconstruction(rng):
+    N, d, rank, r_h, kw = 400, 16, 8, 6, 3
+    H = rng.normal(size=(d, r_h, 1, kw)).astype(np.float32)
+    feature = rng.normal(size=(N, d)).astype(np.float32)
+    gt = feature + 0.01 * rng.normal(size=(N, d)).astype(np.float32)
+    bias = rng.normal(size=d).astype(np.float32)
+    res = lowrank.itq_decompose(feature, gt, H, rank, bias=bias, iters=(5, 3))
+    assert res.W1.shape == (rank, r_h, 1, kw)
+    assert res.W2.shape == (d, rank, 1, 1)
+    assert res.B.shape == (d,)
+    assert res.W12.shape == H.shape
+    # W12 == W2-composed-with-W1 folded back: W12[o] = sum_r W2[o,r] W1[r]
+    comp = np.einsum("or,rabc->oabc", np.asarray(res.W2)[:, :, 0, 0],
+                     np.asarray(res.W1))
+    np.testing.assert_allclose(comp, np.asarray(res.W12), rtol=1e-3, atol=1e-4)
+
+
+def test_nonlinear_fit_matches_oracle(rng):
+    X = rng.normal(size=(300, 10)).astype(np.float32)
+    Wt = rng.normal(size=(4, 10)).astype(np.float32)
+    Y = (X @ Wt.T + 0.05 * rng.normal(size=(300, 4))).astype(np.float32)
+    W, b = lowrank.nonlinear_fit(X, Y, (0.1, 1.0), (10, 5))
+    Wo, bo = oracle.nonlinear_fc(X.astype(np.float64), Y.astype(np.float64),
+                                 (0.1, 1.0), (10, 5))
+    pred_dev = X @ np.asarray(W).T + np.asarray(b)
+    pred_o = X @ Wo.T + bo
+    assert oracle.rel_error(oracle.relu(pred_o), oracle.relu(pred_dev)) < 1e-2
