@@ -1,0 +1,155 @@
+"""Per-layer channel pruning kernels.
+
+The reference's `dictionary_kernel` (lib/net.py:1685-1735) + `dictionary`
+solver (lib/decompose.py:386-634) + selection application W1keep/W2keep
+(lib/net.py:1521-1625), restated TPU-first:
+
+  1. gather the consumer's input patches X (N, c, kh, kw) from the *current*
+     (already-compressed) net — asymmetric reconstruction, the ground truth Y
+     comes from the frozen cache of the original net;
+  2. LASSO channel selection on a row subsample via the on-device Gram CD
+     solver (ops/lasso.py);
+  3. least-squares reconstruction of the surviving weights on the FULL sample
+     set via the on-device Cholesky solver (ops/lstsq.py);
+  4. application = pure graph rewrites (graph/rewrite.py) instead of zeroing
+     channels in place.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from channel_pruning_tpu.graph.ir import Graph, LT
+from channel_pruning_tpu.graph import rewrite
+from channel_pruning_tpu.ops import lasso, lstsq
+from channel_pruning_tpu.ops.oracle import rel_error
+
+_CHANNEL_PRESERVING = (LT.RELU, LT.POOL, LT.DROPOUT, LT.BN, LT.SCALE)
+
+
+def producer_conv(graph: Graph, tensor: str, before: str | None = None) -> str | None:
+    """Walk back through channel-preserving layers to the conv producing the
+    channel dimension of `tensor` (the reference resolves this through its
+    type caches + bottom maps, lib/net.py:107-120)."""
+    seen = set()
+    cur = tensor
+    while cur not in seen:
+        seen.add(cur)
+        prod = (graph.producer_before(cur, before) if before is not None
+                else graph.producer(cur))
+        if prod is None:
+            return None
+        if prod.type == LT.CONV:
+            return prod.name
+        if prod.type in _CHANNEL_PRESERVING:
+            cur = prod.bottoms[0]
+            continue
+        return None
+    return None
+
+
+@dataclass
+class PruneResult:
+    keep: np.ndarray          # bool (c,) surviving input channels
+    W: np.ndarray             # (n, keep, kh, kw) reconstructed consumer weights
+    b: np.ndarray             # (n,)
+    alpha: float              # LASSO alpha that hit the support band
+    rmse_before: float        # rel rMSE of X*W2 vs Y before pruning (net.py:1726)
+    rmse_after: float         # after selection + reconstruction
+
+
+def select_and_reconstruct(X: np.ndarray, W2: np.ndarray, Y: np.ndarray,
+                           rank: int, *, rank_tol: float = 0.1,
+                           alpha0: float = 1e-3, subsample: int = 400,
+                           n_sweeps: int = 200, grid_size: int = 16,
+                           max_rounds: int = 8, ridge: float = 0.0,
+                           seed: int = 0) -> PruneResult:
+    """One layer's LASSO selection + lstsq reconstruction.
+
+    X: (N, c, kh, kw) consumer input patches (current net),
+    W2: (n, c, kh, kw) consumer weights, Y: (N, n) ground-truth responses
+    (bias already subtracted — net.py:1707).
+    """
+    N, c = X.shape[0], X.shape[1]
+    rank = int(min(max(rank, 1), c))
+
+    Xd = jnp.asarray(X, jnp.float32)
+    Yd = jnp.asarray(Y, jnp.float32)
+    pred0 = jnp.einsum("nchw,ochw->no", Xd, jnp.asarray(W2, jnp.float32))
+    rmse_before = float(rel_error(np.asarray(Yd), np.asarray(pred0)))
+
+    if rank >= c:
+        keep = np.ones(c, bool)
+        alpha = 0.0
+    else:
+        keep, alpha, _ = lasso.select_channels(
+            X, W2, Y, rank, alpha0=alpha0, rank_tol=rank_tol,
+            subsample=subsample, seed=seed, grid_size=grid_size,
+            max_rounds=max_rounds, n_sweeps=n_sweeps)
+
+    # least-squares reconstruction on surviving channels, FULL sample set
+    # (decompose.py:622-623 -> fc_kernel)
+    kh, kw = X.shape[2], X.shape[3]
+    Xk = Xd[:, keep].reshape(N, -1)
+    W, b = lstsq.fit_linear(Xk, Yd, ridge=ridge)
+    W = np.asarray(W).reshape(Y.shape[1], int(keep.sum()), kh, kw)
+    b = np.asarray(b)
+
+    pred1 = jnp.einsum("nchw,ochw->no", Xd[:, keep], jnp.asarray(W)) + b
+    rmse_after = float(rel_error(np.asarray(Yd), np.asarray(pred1)))
+    return PruneResult(keep=np.asarray(keep, bool), W=W, b=b, alpha=float(alpha),
+                       rmse_before=rmse_before, rmse_after=rmse_after)
+
+
+def magnitude_select(W2: np.ndarray, rank: int) -> np.ndarray:
+    """Baseline: keep the `rank` input channels with largest sum|W|
+    (reference pruning_kernel, lib/net.py:1632-1639)."""
+    saliency = np.abs(W2).sum(axis=(0, 2, 3))
+    keep = np.zeros(W2.shape[1], bool)
+    keep[np.argsort(-saliency)[:rank]] = True
+    return keep
+
+
+def apply_pruning(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
+                  consumer: str, result: PruneResult,
+                  shrink_producer: bool = True) -> tuple[Graph, dict]:
+    """Install a PruneResult: consumer gets reconstructed (W, b); the producer
+    conv's output channels are physically removed when safe (single-consumer
+    chain — W1keep, net.py:1521-1608); otherwise a Select (Filter) layer is
+    inserted in front of the consumer (net.py:1627-1630)."""
+    g, params = rewrite.prune_conv_inputs(graph, params, consumer,
+                                          result.keep, W=result.W, b=result.b)
+    bottom = g.layer(consumer).bottoms[0]
+    prod = producer_conv(g, bottom, before=consumer)
+    safe = False
+    if shrink_producer and prod is not None:
+        # safe only if every path from the producer reaches solely this consumer
+        safe = _sole_consumer_chain(g, prod, consumer)
+    if safe:
+        g, params = rewrite.prune_conv_outputs(g, params, prod, result.keep)
+    else:
+        g = rewrite.insert_select(g, bottom, consumer, result.keep)
+    return g, params
+
+
+def _sole_consumer_chain(graph: Graph, prod: str, consumer: str) -> bool:
+    """True if prod's output reaches only `consumer` through channel-
+    preserving layers (so physically shrinking its outputs is safe)."""
+    frontier = [graph.layer(prod).tops[0]]
+    visited = set()
+    while frontier:
+        t = frontier.pop()
+        if t in visited:
+            continue
+        visited.add(t)
+        for cons in graph.consumers(t):
+            if cons.name == consumer:
+                continue
+            if cons.type in _CHANNEL_PRESERVING:
+                frontier.extend(cons.tops)
+            else:
+                return False
+    return True

@@ -1,0 +1,252 @@
+"""Activation sampling and the frozen calibration cache.
+
+TPU-native redesign of the reference's sampling subsystem:
+
+* `extract_features` (lib/net.py:368-532): 500 sequential pycaffe forwards,
+  each sampling 10 random spatial points per conv top, becomes a *chunked
+  jitted forward* that captures every requested tensor in one XLA program and
+  gathers the sampled channel vectors on device — only (N, C) slabs ever
+  reach the host.
+* `extract_XY` (lib/net.py:534-684): the MemoryData replay + host im2col at
+  sampled positions becomes `sample_patches`: replay the current graph under
+  jit, gather (N, c, kh, kw) patches with `ops.patches`.
+* `freeze_images` / `load_frozen` (lib/net.py:749-876): the pickled
+  `[feats_dict, points_dict]` becomes `FrozenCache` (npz on disk): input
+  batches + per-(batch, layer) point coordinates + ground-truth sampled
+  responses. Replay is deterministic by construction (points are data, not
+  RNG state).
+
+Row-order contract (see ops/patches.py): within a batch of `bs` images with
+`P` points, row = p * bs + b; batches are concatenated in order. X patches
+and Y responses sampled with the same plan correspond row-for-row.
+
+ResNet note: tensors that must share sample points (residual-branch tops —
+reference forces identical randx/randy across them, lib/net.py:466-497) are
+assigned the same `share_key` in the plan.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Callable, Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from channel_pruning_tpu.graph.ir import Graph, LT, shapes_of
+from channel_pruning_tpu.ops.forward import run_graph
+from channel_pruning_tpu.ops.patches import (
+    gather_channels_at_points, gather_patches_at_points)
+
+
+# ---------------------------------------------------------------------------
+# point plan
+# ---------------------------------------------------------------------------
+
+def make_point_plan(shapes: Mapping[str, tuple[int, ...]], tensors: Sequence[str],
+                    n_batches: int, n_points: int, seed: int = 0,
+                    share_key: Callable[[str], str] | None = None,
+                    ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """Draw per-(batch, tensor) sample coordinates.
+
+    Returns {tensor: (ys, xs)} with ys/xs int32 (n_batches, n_points).
+    Tensors mapping to the same `share_key` get identical points (the
+    residual-branch constraint, lib/net.py:466-497). Deterministic in `seed`
+    (replaces the reference's saved randx/randy replay state).
+    """
+    rng = np.random.default_rng(seed)
+    drawn: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    plan: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for t in tensors:
+        shp = shapes[t]
+        if len(shp) != 4:
+            plan[t] = (np.zeros((n_batches, 0), np.int32),) * 2  # dense tensor
+            continue
+        key = share_key(t) if share_key else t
+        if key not in drawn:
+            h, w = shp[2], shp[3]
+            drawn[key] = (rng.integers(0, h, (n_batches, n_points)).astype(np.int32),
+                          rng.integers(0, w, (n_batches, n_points)).astype(np.int32))
+        plan[t] = drawn[key]
+    return plan
+
+
+# ---------------------------------------------------------------------------
+# chunked jitted gather-forward
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=32)
+def _feature_chunk_fn(graph: Graph, tensors: tuple[str, ...], batch_size: int):
+    """fn(params, x, ys, xs) -> {t: sampled rows}; x: (G*bs, C, H, W),
+    ys/xs: {t: (G, P)}. Compiled once per (graph, tensors, bs)."""
+    input_name = graph.inputs[0].name
+
+    @jax.jit
+    def fn(params, x, ys, xs):
+        _, caps = run_graph(graph, params, {input_name: x}, capture=tensors)
+        out = {}
+        for t in tensors:
+            v = caps[t]
+            if v.ndim != 4 or ys[t].shape[1] == 0:
+                out[t] = v.reshape(v.shape[0], -1)    # dense (FC/1x1 tops)
+                continue
+            g = ys[t].shape[0]
+            vg = v.reshape((g, batch_size) + v.shape[1:])
+            rows = jax.vmap(gather_channels_at_points)(vg, ys[t], xs[t])
+            out[t] = rows.reshape(-1, rows.shape[-1])
+        return out
+
+    return fn
+
+
+@functools.lru_cache(maxsize=64)
+def _patch_chunk_fn(graph: Graph, bottom: str, batch_size: int,
+                    kernel: tuple[int, int], stride: tuple[int, int],
+                    pad: tuple[int, int]):
+    input_name = graph.inputs[0].name
+
+    @jax.jit
+    def fn(params, x, ys, xs):
+        _, caps = run_graph(graph, params, {input_name: x}, capture=(bottom,))
+        v = caps[bottom]
+        g = ys.shape[0]
+        vg = v.reshape((g, batch_size) + v.shape[1:])
+        patches = jax.vmap(
+            lambda a, yy, xx: gather_patches_at_points(a, yy, xx, kernel, stride, pad)
+        )(vg, ys, xs)
+        return patches.reshape((-1,) + patches.shape[2:])
+
+    return fn
+
+
+def _chunk_iter(inputs: np.ndarray, chunk_batches: int):
+    n_batches = inputs.shape[0]
+    step = min(chunk_batches, n_batches)
+    while n_batches % step:
+        step -= 1  # keep chunk shapes uniform so one compile serves all chunks
+    for i in range(0, n_batches, step):
+        yield i, i + step
+
+
+def sample_features(graph: Graph, params, inputs: np.ndarray,
+                    plan: Mapping[str, tuple[np.ndarray, np.ndarray]],
+                    tensors: Sequence[str], chunk_batches: int = 25,
+                    ) -> dict[str, np.ndarray]:
+    """Ground-truth response sampling: {tensor: (n_batches*P*bs, C)} (dense
+    (n_images, D) for non-spatial tensors). inputs: (n_batches, bs, C, H, W)."""
+    tensors = tuple(tensors)
+    bs = inputs.shape[1]
+    fn = _feature_chunk_fn(graph, tensors, bs)
+    outs: dict[str, list[np.ndarray]] = {t: [] for t in tensors}
+    for lo, hi in _chunk_iter(inputs, chunk_batches):
+        x = jnp.asarray(inputs[lo:hi].reshape((-1,) + inputs.shape[2:]))
+        ys = {t: jnp.asarray(plan[t][0][lo:hi]) for t in tensors}
+        xs = {t: jnp.asarray(plan[t][1][lo:hi]) for t in tensors}
+        res = fn(params, x, ys, xs)
+        for t in tensors:
+            outs[t].append(np.asarray(res[t]))
+    return {t: np.concatenate(v, axis=0) for t, v in outs.items()}
+
+
+def sample_patches(graph: Graph, params, inputs: np.ndarray, conv: str,
+                   plan: Mapping[str, tuple[np.ndarray, np.ndarray]],
+                   chunk_batches: int = 25) -> np.ndarray:
+    """Replay the *current* graph and gather the (N, c, kh, kw) input patches
+    of `conv` at its planned output points (extract_XY, lib/net.py:534-684).
+    The plan is keyed by conv top tensor name."""
+    l = graph.layer(conv)
+    geo = l.conv_geometry()
+    bottom = l.bottoms[0]
+    top = l.tops[0]
+    bs = inputs.shape[1]
+    fn = _patch_chunk_fn(graph, bottom, bs, (geo["kh"], geo["kw"]),
+                         (geo["sh"], geo["sw"]), (geo["ph"], geo["pw"]))
+    ys_all, xs_all = plan[top]
+    outs = []
+    for lo, hi in _chunk_iter(inputs, chunk_batches):
+        x = jnp.asarray(inputs[lo:hi].reshape((-1,) + inputs.shape[2:]))
+        outs.append(np.asarray(fn(params, x, jnp.asarray(ys_all[lo:hi]),
+                                  jnp.asarray(xs_all[lo:hi]))))
+    return np.concatenate(outs, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# frozen cache
+# ---------------------------------------------------------------------------
+
+@dataclass
+class FrozenCache:
+    """The calibration snapshot: inputs + point plan + ground-truth sampled
+    responses of the ORIGINAL net (replaces frozen<nBatches>.pickle +
+    MemoryData replay, lib/net.py:749-876)."""
+
+    inputs: np.ndarray                                   # (n_batches, bs, C, H, W)
+    plan: dict[str, tuple[np.ndarray, np.ndarray]]       # tensor -> (ys, xs)
+    feats: dict[str, np.ndarray]                         # tensor -> sampled rows
+    labels: np.ndarray | None = None                     # (n_batches, bs) int
+
+    @property
+    def batch_size(self) -> int:
+        return int(self.inputs.shape[1])
+
+    @property
+    def n_batches(self) -> int:
+        return int(self.inputs.shape[0])
+
+    def save(self, path: str | Path) -> None:
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        payload = {"inputs": self.inputs}
+        if self.labels is not None:
+            payload["labels"] = self.labels
+        for t, (ys, xs) in self.plan.items():
+            payload[f"plan_ys::{t}"] = ys
+            payload[f"plan_xs::{t}"] = xs
+        for t, f in self.feats.items():
+            payload[f"feats::{t}"] = f
+        np.savez_compressed(path, **payload)
+
+    @staticmethod
+    def load(path: str | Path) -> "FrozenCache":
+        z = np.load(path)
+        plan: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        feats: dict[str, np.ndarray] = {}
+        for k in z.files:
+            if k.startswith("plan_ys::"):
+                t = k.split("::", 1)[1]
+                plan[t] = (z[k], z[f"plan_xs::{t}"])
+            elif k.startswith("feats::"):
+                feats[k.split("::", 1)[1]] = z[k]
+        return FrozenCache(inputs=z["inputs"], plan=plan, feats=feats,
+                           labels=z["labels"] if "labels" in z.files else None)
+
+
+def resnet_share_key(graph: Graph) -> Callable[[str], str]:
+    """Map each residual-sum-reachable tensor to its Eltwise junction so all
+    branch tops share sample points (lib/net.py:466-497)."""
+    groups: dict[str, str] = {}
+    for s in graph.by_type(LT.ELTWISE):
+        for b in s.bottoms:
+            groups[b] = s.tops[0]
+        groups[s.tops[0]] = s.tops[0]
+    return lambda t: groups.get(t, t)
+
+
+def freeze(graph: Graph, params, inputs: np.ndarray, *, tensors: Sequence[str] | None = None,
+           n_points: int = 10, seed: int = 0, chunk_batches: int = 25,
+           share_key: Callable[[str], str] | None = None,
+           labels: np.ndarray | None = None) -> FrozenCache:
+    """Sample ground-truth responses of every conv top (default) on the given
+    calibration batches. The graph should have ReLUs split
+    (rewrite.split_relu) so conv outputs are addressable."""
+    if tensors is None:
+        tensors = tuple(graph.layer(c).tops[0] for c in graph.convs)
+    shapes = shapes_of(graph, batch=inputs.shape[1])
+    plan = make_point_plan(shapes, tensors, inputs.shape[0], n_points, seed,
+                           share_key=share_key)
+    feats = sample_features(graph, params, inputs, plan, tensors,
+                            chunk_batches=chunk_batches)
+    return FrozenCache(inputs=np.asarray(inputs), plan=plan, feats=feats,
+                       labels=labels)
