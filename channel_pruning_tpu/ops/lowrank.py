@@ -207,5 +207,8 @@ def itq_decompose(feature: np.ndarray | jax.Array, gt_feature, weight, rank: int
     W2 = R.T.reshape(d, rank, 1, 1)
     B = -Y_mean @ T + U_mean
     if bias is not None:
-        B = B + jnp.asarray(bias, jnp.float32)
+        # the producer's bias enters the factorised response through T:
+        # chain output = (feature - b) @ T + B_total must reproduce
+        # feature @ T + (U_mean - Y_mean @ T), hence B_total += b @ T.
+        B = B + jnp.asarray(bias, jnp.float32) @ T
     return ITQResult(W1=W1, W2=W2, B=B, W12=W12)

@@ -1,0 +1,122 @@
+"""Whole-model pipeline tests on the tiny VGG: pruning-only and full 3C.
+
+These exercise the reference call stack (train.py c3 -> step0/step1/solve,
+SURVEY.md §3.1) end to end: preprocess -> freeze -> sequential solve with
+asymmetric accumulation -> physically rewritten output graph -> forward.
+"""
+import numpy as np
+import pytest
+
+from channel_pruning_tpu.graph.rewrite import split_relu
+from channel_pruning_tpu.models.vgg import build_tiny_vgg
+from channel_pruning_tpu.ops.forward import build_forward, to_device_params
+from channel_pruning_tpu.pipeline import c3
+from channel_pruning_tpu.sampling import freeze
+from channel_pruning_tpu.utils import flops
+from channel_pruning_tpu.utils.config import default_config
+
+
+@pytest.fixture(scope="module")
+def setup():
+    g, params = build_tiny_vgg(batch=4, image_size=16)
+    g = split_relu(g)
+    rng = np.random.default_rng(7)
+    inputs = rng.normal(0, 1, (8, 4, 3, 16, 16)).astype(np.float32)
+    cfg = default_config()
+    cache = freeze(g, to_device_params(params), inputs, n_points=10,
+                   seed=0, chunk_batches=4)
+    return g, params, inputs, cfg, cache
+
+
+def _final_probs(graph, params, x):
+    fwd = build_forward(graph, capture=("prob",), jit=False)
+    _, caps = fwd(to_device_params(params), {"data": x})
+    return np.asarray(caps["prob"])
+
+
+def test_solve_prune_end_to_end(setup):
+    g, params, inputs, cfg, cache = setup
+    targets = {"conv1_1": 5, "conv1_2": 6, "conv2_1": 8, "conv2_2": 9,
+               "conv3_1": 10}
+    res = c3.solve_prune(g, params, cache, cfg, channel_targets=targets,
+                         verbose=False)
+    res.graph.validate()
+    # producer output widths physically pruned to the targets (within band)
+    for prod, t in targets.items():
+        got = res.params[prod]["W"].shape[0]
+        assert t <= got <= t + max(1, int(cfg.dic.rank_tol * t) + 1), (prod, got)
+    # consumers consume exactly the kept channels
+    for consumer, keep in res.selections.items():
+        assert res.params[consumer]["W"].shape[1] == keep.sum()
+    # FLOPs strictly reduced
+    assert flops.total_flops(res.graph, include_fc=False) < \
+        flops.total_flops(g, include_fc=False)
+    # pruned net still computes normalised probabilities
+    p = _final_probs(res.graph, res.params, inputs[0])
+    np.testing.assert_allclose(p.sum(-1), 1.0, rtol=1e-4)
+    # discriminative bar: LASSO select + lstsq reconstruction must beat a
+    # magnitude-prune / no-reconstruction baseline on final logits
+    # (the reference's de-facto acceptance criterion is reconstruction
+    # error + end accuracy, SURVEY.md §4)
+    from channel_pruning_tpu.pipeline import prune as P
+
+    def logits(graph, pars):
+        fwd = build_forward(graph, capture=("fc8",), jit=False)
+        outs = [np.asarray(fwd(to_device_params(pars), {"data": x})[1]["fc8"])
+                for x in inputs]
+        return np.concatenate(outs)
+
+    g_b, p_b = g, {k: dict(v) for k, v in params.items()}
+    convs = list(g.convs)
+    for i, consumer in enumerate(convs[1:], 1):
+        producer = P.producer_conv(g_b, g_b.layer(consumer).bottoms[0],
+                                   before=consumer)
+        t = targets.get(producer)
+        if t is None:
+            continue
+        keep = P.magnitude_select(p_b[consumer]["W"], t)
+        base = P.PruneResult(keep=keep, W=p_b[consumer]["W"][:, keep],
+                             b=p_b[consumer].get("b"), alpha=0.0,
+                             rmse_before=0.0, rmse_after=0.0)
+        g_b, p_b = P.apply_pruning(g_b, p_b, consumer, base)
+    ref = logits(g, params)
+    err_lasso = np.linalg.norm(logits(res.graph, res.params) - ref)
+    err_base = np.linalg.norm(logits(g_b, p_b) - ref)
+    assert err_lasso < err_base, (err_lasso, err_base)
+
+
+def test_solve_3c_end_to_end(setup):
+    g, params, inputs, cfg, cache = setup
+    ranks = {"conv1_2": 6, "conv2_1": 9, "conv2_2": 9, "conv3_1": 12,
+             "conv3_2": 12}
+    res = c3.solve_3c(g, params, cache, cfg, ranks, verbose=False)
+    res.graph.validate()
+    # every decomposed conv became a V/H/P triple
+    for conv in ranks:
+        assert res.graph.has_layer(f"{conv}_V")
+        assert res.graph.has_layer(f"{conv}_H")
+        assert res.graph.has_layer(f"{conv}_P")
+        assert not res.graph.has_layer(conv)
+        V = res.params[f"{conv}_V"]["W"]
+        H = res.params[f"{conv}_H"]["W"]
+        P = res.params[f"{conv}_P"]["W"]
+        assert V.shape[2:] == (3, 1) and H.shape[2:] == (1, 3) \
+            and P.shape[2:] == (1, 1)
+        assert V.shape[0] == ranks[conv] == H.shape[1]
+    # pruning arm ran: P rows of each non-final decomposed conv shrank
+    assert res.selections, "no channel selections recorded"
+    for consumer, keep in res.selections.items():
+        # a decomposed consumer's inputs live on its V conv
+        key = f"{consumer}_V" if f"{consumer}_V" in res.params else consumer
+        assert res.params[key]["W"].shape[1] == keep.sum()
+    # forward runs and yields normalised probabilities
+    p = _final_probs(res.graph, res.params, inputs[0])
+    np.testing.assert_allclose(p.sum(-1), 1.0, rtol=1e-4)
+
+
+def test_ranks_for_speed():
+    base = {"conv2_1": 37, "conv5_1": 398}
+    r4 = c3.ranks_for_speed(base, 4.0)
+    assert r4 == {"conv2_1": 37, "conv5_1": 398}
+    r2 = c3.ranks_for_speed(base, 2.0)
+    assert r2["conv2_1"] == 74 and r2["conv5_1"] == 398  # conv5 exempt

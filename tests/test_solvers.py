@@ -200,3 +200,23 @@ def test_nonlinear_fit_matches_oracle(rng):
     pred_dev = X @ np.asarray(W).T + np.asarray(b)
     pred_o = X @ Wo.T + bo
     assert oracle.rel_error(oracle.relu(pred_o), oracle.relu(pred_dev)) < 1e-2
+
+
+def test_itq_chain_bias_equivalence(rng):
+    """The emitted V->H'->P chain (H' biasless, P carries B) must compute the
+    same function as the merged W12 conv with bias B, and both must
+    approximate the ITQ target when responses include the producer bias."""
+    N, d, rank, r_h, kw = 500, 16, 12, 6, 3
+    H = rng.normal(size=(d, r_h, 1, kw)).astype(np.float32)
+    bias = rng.normal(size=d).astype(np.float32)
+    Xh = rng.normal(size=(N, r_h, 1, kw)).astype(np.float32)
+    feature = (oracle.conv_response_at_points(Xh, H) + bias).astype(np.float32)
+    gt = feature + 0.02 * rng.normal(size=(N, d)).astype(np.float32)
+    res = lowrank.itq_decompose(feature, gt, H, rank, bias=bias, iters=(8, 4))
+    # chain: H' responses then 1x1 P with bias B
+    h_resp = oracle.conv_response_at_points(Xh, np.asarray(res.W1))  # (N, rank)
+    chain = h_resp @ np.asarray(res.W2)[:, :, 0, 0].T + np.asarray(res.B)
+    merged = oracle.conv_response_at_points(Xh, np.asarray(res.W12)) + np.asarray(res.B)
+    np.testing.assert_allclose(chain, merged, rtol=1e-3, atol=1e-3)
+    # quality: relu of chain approximates relu of ground truth
+    assert oracle.rel_error(oracle.relu(gt), oracle.relu(chain)) < 0.15
