@@ -1,0 +1,60 @@
+"""Top-1 / top-5 evaluation harness.
+
+Replaces `caffe test -iterations 5000` (README.md:100; lib/net.py:1755-1760)
+and the running accuracy accumulation during sampling (lib/net.py:948-955):
+a jitted batched forward computing logits, accumulated over an iterator.
+"""
+from __future__ import annotations
+
+from typing import Iterable, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from channel_pruning_tpu.graph.ir import Graph
+from channel_pruning_tpu.ops.forward import run_graph
+from channel_pruning_tpu.train.finetune import logits_tensor_of
+
+P = jax.sharding.PartitionSpec
+
+
+def build_eval_step(graph: Graph, mesh: jax.sharding.Mesh | None = None):
+    logits_t = logits_tensor_of(graph)
+    input_name = graph.inputs[0].name
+
+    def step(params, x, y):
+        _, caps = run_graph(graph, params, {input_name: x}, capture=(logits_t,))
+        logits = caps[logits_t]
+        top1 = (logits.argmax(-1) == y).sum()
+        top5 = jnp.any(jnp.argsort(logits, axis=-1)[:, -5:] == y[:, None],
+                       axis=-1).sum()
+        return top1, top5
+
+    if mesh is not None:
+        repl = jax.sharding.NamedSharding(mesh, P())
+        data = jax.sharding.NamedSharding(mesh, P("data"))
+        return jax.jit(step, in_shardings=(repl, data, data),
+                       out_shardings=(repl, repl))
+    return jax.jit(step)
+
+
+def evaluate(graph: Graph, params: Mapping, batches: Iterable, *,
+             mesh: jax.sharding.Mesh | None = None, max_batches: int | None = None,
+             verbose: bool = False) -> dict[str, float]:
+    """Accumulate top-1/top-5 over (x, y) numpy batches. Returns accuracies
+    (the reference's `accuracy@1`/`accuracy@5` names, lib/cfgs.py:65)."""
+    step = build_eval_step(graph, mesh)
+    dev = jax.tree_util.tree_map(jnp.asarray, {k: dict(v) for k, v in params.items()})
+    n = t1 = t5 = 0
+    for i, (x, y) in enumerate(batches):
+        if max_batches is not None and i >= max_batches:
+            break
+        a, b = step(dev, jnp.asarray(x), jnp.asarray(y))
+        n += x.shape[0]
+        t1 += int(a)
+        t5 += int(b)
+        if verbose and (i + 1) % 50 == 0:
+            print(f"[eval] {i+1} batches: top1 {t1/n:.4f} top5 {t5/n:.4f}")
+    return {"accuracy@1": t1 / max(n, 1), "accuracy@5": t5 / max(n, 1),
+            "n_images": n}

@@ -1,0 +1,149 @@
+"""Data-parallel finetuning of a (pruned) graph.
+
+TPU-native replacement for the reference's external `caffe train` step
+(README.md:91: SGD, batch 128 over 4 GPUs, lr 1e-5, momentum 0.9, wd 0,
+Nesterov default in the programmatic solver, lib/builder.py:15-117;
+snapshotting every 20k iters, temp/solver.prototxt:14-15).
+
+Design: one jitted train step over a `jax.sharding.Mesh` — batch sharded on
+the "data" axis, parameters replicated; XLA inserts the gradient all-reduce
+over ICI (no NCCL-style code, SURVEY.md §2.3). Checkpointing via orbax.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Callable, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from channel_pruning_tpu.graph.ir import Graph, LT
+from channel_pruning_tpu.ops.forward import run_graph
+from channel_pruning_tpu.utils.config import FinetuneConfig
+
+P = jax.sharding.PartitionSpec
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int
+
+
+def logits_tensor_of(graph: Graph) -> str:
+    heads = graph.by_type(LT.SOFTMAX, LT.SOFTMAX_LOSS)
+    if heads:
+        return heads[0].bottoms[0]
+    return graph.outputs()[-1]
+
+
+def make_optimizer(cfg: FinetuneConfig) -> optax.GradientTransformation:
+    """SGD + (Nesterov) momentum + step lr decay, matching
+    temp/solver.prototxt:1-12 semantics (base_lr, gamma^floor(it/step))."""
+    def lr(step):
+        return cfg.base_lr * cfg.gamma ** jnp.floor(step / cfg.stepsize)
+
+    tx = [optax.trace(decay=cfg.momentum, nesterov=cfg.nesterov)]
+    if cfg.weight_decay:
+        tx.insert(0, optax.add_decayed_weights(cfg.weight_decay))
+    tx.append(optax.scale_by_schedule(lambda s: -lr(s)))
+    return optax.chain(*tx)
+
+
+def build_train_step(graph: Graph, cfg: FinetuneConfig,
+                     mesh: jax.sharding.Mesh | None = None,
+                     donate: bool = True) -> Callable:
+    """Returns step(state, x, y, rng) -> (state, metrics).
+
+    x: (B, C, H, W) float32, y: (B,) int32. With a mesh, the batch is sharded
+    over the 'data' axis and params are replicated — the pjit data-parallel
+    plan (SURVEY.md §2.3 row 'Data parallelism')."""
+    logits_t = logits_tensor_of(graph)
+    input_name = graph.inputs[0].name
+    opt = make_optimizer(cfg)
+
+    def loss_fn(params, x, y, rng):
+        _, caps = run_graph(graph, params, {input_name: x},
+                            capture=(logits_t,), train=True, rng=rng)
+        logits = caps[logits_t]
+        loss = optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+        acc1 = (logits.argmax(-1) == y).mean()
+        top5 = jnp.any(jnp.argsort(logits, axis=-1)[:, -5:] == y[:, None], axis=-1)
+        return loss, (acc1, top5.mean())
+
+    def step(state_params, state_opt, state_step, x, y, rng):
+        (loss, (acc1, acc5)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state_params, x, y, rng)
+        updates, new_opt = opt.update(grads, state_opt, state_params)
+        new_params = optax.apply_updates(state_params, updates)
+        return new_params, new_opt, state_step + 1, {
+            "loss": loss, "top1": acc1, "top5": acc5}
+
+    if mesh is not None:
+        repl = jax.sharding.NamedSharding(mesh, P())
+        data = jax.sharding.NamedSharding(mesh, P("data"))
+        jstep = jax.jit(step,
+                        in_shardings=(repl, repl, repl, data, data, repl),
+                        out_shardings=(repl, repl, repl, repl),
+                        donate_argnums=(0, 1) if donate else ())
+    else:
+        jstep = jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+    def wrapped(state: TrainState, x, y, rng) -> tuple[TrainState, dict]:
+        p, o, s, m = jstep(state.params, state.opt_state,
+                           jnp.asarray(state.step), x, y, rng)
+        return TrainState(params=p, opt_state=o, step=int(state.step) + 1), m
+
+    return wrapped
+
+
+def init_state(graph: Graph, params: Mapping, cfg: FinetuneConfig,
+               mesh: jax.sharding.Mesh | None = None) -> TrainState:
+    dev = jax.tree_util.tree_map(jnp.asarray, {k: dict(v) for k, v in params.items()})
+    if mesh is not None:
+        repl = jax.sharding.NamedSharding(mesh, P())
+        dev = jax.tree_util.tree_map(lambda a: jax.device_put(a, repl), dev)
+    opt = make_optimizer(cfg)
+    return TrainState(params=dev, opt_state=opt.init(dev), step=0)
+
+
+def finetune(graph: Graph, params: Mapping, data_iter, cfg: FinetuneConfig,
+             mesh: jax.sharding.Mesh | None = None, max_steps: int | None = None,
+             snapshot_dir: str | None = None, log_every: int = 100,
+             rng_seed: int = 0) -> TrainState:
+    """The `caffe train` loop. `data_iter` yields (x, y) numpy batches."""
+    state = init_state(graph, params, cfg, mesh)
+    step_fn = build_train_step(graph, cfg, mesh)
+    key = jax.random.PRNGKey(rng_seed)
+    n = max_steps if max_steps is not None else cfg.max_iter
+    ckpt = None
+    if snapshot_dir is not None:
+        from channel_pruning_tpu.train import checkpoint as ckpt_mod
+        ckpt = ckpt_mod.Checkpointer(snapshot_dir)
+    for i, (x, y) in enumerate(data_iter):
+        if i >= n:
+            break
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, jnp.asarray(x), jnp.asarray(y), sub)
+        if log_every and (i + 1) % log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            print(f"[finetune] it {i+1}: loss {m['loss']:.4f} "
+                  f"top1 {m['top1']:.3f} top5 {m['top5']:.3f}")
+        if ckpt is not None and (i + 1) % cfg.snapshot_every == 0:
+            ckpt.save(state, i + 1)
+    return state
+
+
+def synthetic_batches(batch: int, image: int = 224, classes: int = 1000,
+                      channels: int = 3, seed: int = 0):
+    """Deterministic synthetic (x, y) stream for smoke/bench runs when no
+    dataset directory is configured."""
+    rng = np.random.default_rng(seed)
+    while True:
+        x = rng.normal(0, 1, (batch, channels, image, image)).astype(np.float32)
+        y = rng.integers(0, classes, (batch,)).astype(np.int32)
+        yield x, y

@@ -1,0 +1,111 @@
+"""Multi-device (8-way virtual CPU mesh) tests: DP finetune step, eval,
+sharded Gram/lstsq reductions — the pjit/ICI story of SURVEY.md §2.3."""
+import jax
+import numpy as np
+import pytest
+
+from channel_pruning_tpu.models.vgg import build_tiny_vgg
+from channel_pruning_tpu.ops import lasso, lstsq
+from channel_pruning_tpu.parallel import mesh as mesh_mod
+from channel_pruning_tpu.parallel import sharded
+from channel_pruning_tpu.train import evaluate, finetune
+from channel_pruning_tpu.utils.config import FinetuneConfig
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return mesh_mod.make_mesh(8)
+
+
+def test_sharded_lasso_gram_matches_local(rng, mesh):
+    Z = rng.normal(size=(203, 24)).astype(np.float32)   # deliberately not /8
+    y = rng.normal(size=203).astype(np.float32)
+    g_local = lasso.lasso_gram(Z, y)
+    g_shard = sharded.sharded_lasso_gram(Z, y, mesh)
+    assert g_shard.n_samples == 203
+    np.testing.assert_allclose(np.asarray(g_shard.G), np.asarray(g_local.G),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(g_shard.b), np.asarray(g_local.b),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_sharded_lstsq_matches_local(rng, mesh):
+    X = rng.normal(size=(317, 20)).astype(np.float32)
+    Y = rng.normal(size=(317, 6)).astype(np.float32)
+    W_s, b_s = sharded.sharded_lstsq(X, Y, mesh)
+    W_l, b_l = lstsq.fit_linear(X, Y)
+    np.testing.assert_allclose(np.asarray(W_s), np.asarray(W_l),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(b_s), np.asarray(b_l),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_dp_train_step_runs_and_learns(mesh):
+    g, params = build_tiny_vgg(batch=8, image_size=16)
+    cfg = FinetuneConfig(base_lr=1e-2, max_iter=10, snapshot_every=10**9)
+    state = finetune.init_state(g, params, cfg, mesh)
+    step = finetune.build_train_step(g, cfg, mesh)
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (16, 3, 16, 16)).astype(np.float32)
+    y = rng.integers(0, 10, 16).astype(np.int32)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(8):
+        state, m = step(state, x, y, key)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses       # overfits a fixed batch
+    assert state.step == 8
+
+
+def test_dp_grads_match_single_device(mesh):
+    """The mesh step must compute the same update as the unsharded step."""
+    g, params = build_tiny_vgg(batch=8, image_size=16)
+    cfg = FinetuneConfig(base_lr=1e-2)
+    rng = np.random.default_rng(1)
+    x = rng.normal(0, 1, (16, 3, 16, 16)).astype(np.float32)
+    y = rng.integers(0, 10, 16).astype(np.int32)
+    key = jax.random.PRNGKey(3)
+
+    s_mesh = finetune.init_state(g, params, cfg, mesh)
+    s_solo = finetune.init_state(g, params, cfg, None)
+    step_mesh = finetune.build_train_step(g, cfg, mesh, donate=False)
+    step_solo = finetune.build_train_step(g, cfg, None, donate=False)
+    s_mesh, m1 = step_mesh(s_mesh, x, y, key)
+    s_solo, m2 = step_solo(s_solo, x, y, key)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    w_a = np.asarray(s_mesh.params["conv1_1"]["W"])
+    w_b = np.asarray(s_solo.params["conv1_1"]["W"])
+    np.testing.assert_allclose(w_a, w_b, rtol=1e-4, atol=1e-6)
+
+
+def test_evaluate_counts(mesh):
+    g, params = build_tiny_vgg(batch=8, image_size=16)
+    rng = np.random.default_rng(2)
+
+    def batches():
+        for _ in range(3):
+            x = rng.normal(0, 1, (16, 3, 16, 16)).astype(np.float32)
+            y = rng.integers(0, 10, 16).astype(np.int32)
+            yield x, y
+
+    res = evaluate.evaluate(g, params, batches(), mesh=mesh)
+    assert res["n_images"] == 48
+    assert 0.0 <= res["accuracy@1"] <= res["accuracy@5"] <= 1.0
+
+
+def test_finetune_loop_with_snapshot(tmp_path):
+    g, params = build_tiny_vgg(batch=4, image_size=16)
+    cfg = FinetuneConfig(base_lr=1e-2, snapshot_every=5)
+    data = finetune.synthetic_batches(4, image=16, classes=10, seed=0)
+    state = finetune.finetune(g, params, data, cfg, max_steps=5,
+                              snapshot_dir=str(tmp_path / "snap"), log_every=0)
+    assert state.step == 5
+    from channel_pruning_tpu.train.checkpoint import Checkpointer
+    ck = Checkpointer(tmp_path / "snap")
+    assert ck.steps() == [5]
+    restored = ck.latest()
+    assert restored is not None and int(restored["step"]) == 5
+    np.testing.assert_allclose(
+        np.asarray(restored["params"]["conv1_1"]["W"]),
+        np.asarray(state.params["conv1_1"]["W"]), rtol=1e-6)
