@@ -1,0 +1,138 @@
+"""Benchmark: the hot per-layer channel-pruning solve at reference scale.
+
+Workload = one VGG-16 conv3_1-sized layer exactly as the pipeline solves it
+(lib/net.py:1685-1735 dictionary_kernel semantics): build the per-channel
+response matrix Z from a 400-row patch subsample, LASSO-select input channels
+down to rank with the support-band search, then least-squares-reconstruct the
+consumer weights on the FULL 50,000-row sample set.
+
+Device path: ops/lasso (Gram + parallel-grid CD on TPU) + ops/lstsq
+(Cholesky normal equations on TPU). Baseline: the reference's algorithm —
+sklearn Lasso coordinate descent inside a sequential alpha bisection plus
+sklearn LinearRegression (lib/decompose.py:386-634, 636-669) — run on this
+host's CPU with the same data.
+
+Prints ONE JSON line: value = device solve latency in ms,
+vs_baseline = sklearn-path time / device time (higher is better).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def make_problem(seed=0, N=50_000, c=256, n=512, k=3, rank=None):
+    rng = np.random.default_rng(seed)
+    rank = rank or int(c / 1.67)  # ~5x-style keep ratio
+    # correlated patches so the LASSO has structure to find
+    base = rng.normal(0, 1, (N, c // 4, k, k)).astype(np.float32)
+    mix = rng.normal(0, 0.5, (c // 4, c)).astype(np.float32)
+    X = np.einsum("nqhw,qc->nchw", base, mix) + \
+        0.3 * rng.normal(0, 1, (N, c, k, k)).astype(np.float32)
+    X = np.maximum(X, 0)  # post-ReLU patches, as in the VGG path
+    W2 = (rng.normal(0, 1, (n, c, k, k)) *
+          (rng.uniform(size=(1, c, 1, 1)) < 0.7)).astype(np.float32) / (c * k)
+    Y = np.einsum("nchw,ochw->no", X, W2).astype(np.float32)
+    Y += 0.01 * np.std(Y) * rng.normal(size=Y.shape).astype(np.float32)
+    return X, W2, Y, rank
+
+
+def device_solve(X, W2, Y, rank, *, subsample=400, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    from channel_pruning_tpu.ops import lasso, lstsq
+
+    N = X.shape[0]
+    rng = np.random.default_rng(seed)
+    rows = rng.integers(0, N, size=subsample)
+    Xd = jax.device_put(jnp.asarray(X))
+    Yd = jax.device_put(jnp.asarray(Y))
+    W2d = jax.device_put(jnp.asarray(W2))
+    rows_d = jnp.asarray(rows)
+
+    def run():
+        Z = lasso.build_channel_response(Xd[rows_d], W2d)
+        gram = lasso.lasso_gram(Z, Yd[rows_d].reshape(-1))
+        keep, alpha, support = lasso.search_alpha(gram, rank, 0.1)
+        kh, kw = X.shape[2], X.shape[3]
+        Xk = Xd[:, keep].reshape(N, -1)
+        W, b = lstsq.fit_linear(Xk, Yd)
+        return keep, np.asarray(W), np.asarray(b)
+
+    # warmup (compile)
+    keep, W, b = run()
+    t0 = time.perf_counter()
+    keep, W, b = run()
+    dt = time.perf_counter() - t0
+    pred = np.einsum("nchw,ochw->no", X[:, keep],
+                     W.reshape(Y.shape[1], int(keep.sum()), X.shape[2], X.shape[3])) + b
+    err = float(np.sqrt(np.mean((pred - Y) ** 2)) / np.sqrt(np.mean(Y ** 2)))
+    return dt, int(keep.sum()), err
+
+
+def sklearn_solve(X, W2, Y, rank, *, subsample=400, seed=0, rank_tol=0.1):
+    """The reference algorithm: sequential alpha bisection around sklearn
+    Lasso (decompose.py:487-525) + LinearRegression reconstruction."""
+    from sklearn.linear_model import Lasso, LinearRegression
+
+    N, c = X.shape[0], X.shape[1]
+    rng = np.random.default_rng(seed)
+    rows = rng.integers(0, N, size=subsample)
+    Xs, Ys = X[rows], Y[rows]
+    n = W2.shape[0]
+    # Z columns: per-channel partial responses (decompose.py:428-437)
+    Z = np.einsum("nchw,ochw->noc", Xs, W2).reshape(subsample * n, c)
+    y = Ys.reshape(-1)
+
+    t0 = time.perf_counter()
+    solver = Lasso(alpha=1e-3, warm_start=True, selection="cyclic",
+                   tol=1e-6, max_iter=1000)
+    lo, hi = 0.0, None
+    alpha = 1e-3
+    support = c
+    for _ in range(24):
+        solver.alpha = alpha
+        solver.fit(Z, y)
+        support = int((solver.coef_ != 0).sum())
+        if rank <= support <= rank + rank_tol * rank:
+            break
+        if support > rank:
+            lo = alpha
+            alpha = alpha * 2 if hi is None else (alpha + hi) / 2
+        else:
+            hi = alpha
+            alpha = (lo + alpha) / 2
+    keep = solver.coef_ != 0
+    reg = LinearRegression(n_jobs=-1)
+    reg.fit(X[:, keep].reshape(N, -1), Y)
+    dt = time.perf_counter() - t0
+    pred = reg.predict(X[:, keep].reshape(N, -1))
+    err = float(np.sqrt(np.mean((pred - Y) ** 2)) / np.sqrt(np.mean(Y ** 2)))
+    return dt, int(keep.sum()), err
+
+
+def main():
+    X, W2, Y, rank = make_problem()
+    dev_t, dev_keep, dev_err = device_solve(X, W2, Y, rank)
+    sk_t, sk_keep, sk_err = sklearn_solve(X, W2, Y, rank)
+    print(json.dumps({
+        "metric": "per_layer_prune_solve_latency",
+        "value": round(dev_t * 1e3, 2),
+        "unit": "ms",
+        "vs_baseline": round(sk_t / dev_t, 2),
+        "detail": {
+            "layer_shape": "conv3_1-scale N=50000 c=256 n=512 k=3",
+            "device": {"ms": round(dev_t * 1e3, 2), "kept": dev_keep,
+                       "rmse": round(dev_err, 4)},
+            "sklearn_reference_algo": {"ms": round(sk_t * 1e3, 2),
+                                       "kept": sk_keep,
+                                       "rmse": round(sk_err, 4)},
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
