@@ -163,7 +163,10 @@ def compute_layer(l: Layer, env: dict[str, jax.Array], params: Params,
         env[top] = jnp.concatenate([env[b] for b in l.bottoms], axis=nhwc_axis)
     elif t == LT.SELECT:
         idxs = l.attr("indices")
-        env[top] = x[..., jnp.array(idxs)]  # static gather: free at compile time
+        if idxs is None or l.attr("passthrough", False):
+            env[top] = x  # pure fan-out alias (Caffe Split)
+        else:
+            env[top] = x[..., jnp.array(idxs)]  # static gather: free at compile time
     elif t in (LT.SOFTMAX_LOSS, LT.ACCURACY):
         pass  # loss/metric heads handled by the training/eval harness
     else:

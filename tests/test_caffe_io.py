@@ -1,0 +1,125 @@
+"""Caffe interop: prototxt/caffemodel roundtrips + golden parses of the
+reference's released prototxts (structure-level parity, SURVEY.md §4)."""
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from channel_pruning_tpu.graph.ir import LT, shapes_of
+from channel_pruning_tpu.io import caffe as cio
+from channel_pruning_tpu.io import caffemodel as cm
+from channel_pruning_tpu.io import prototxt as pt
+from channel_pruning_tpu.models.vgg import (VGG16_5X_CHANNELS, build_vgg16,
+                                            build_tiny_vgg)
+from channel_pruning_tpu.models.resnet import build_resnet50
+
+REF = Path("/root/reference")
+
+
+def test_prototxt_parse_basics():
+    msg = pt.parse('''
+    name: "x"
+    input: "data"
+    input_dim: 1 input_dim: 3 input_dim: 8 input_dim: 8
+    layer { name: "c" type: "Convolution" bottom: "data" top: "c"
+            convolution_param { num_output: 4 kernel_size: 3 pad: 1 } }
+    layer { name: "r" type: "ReLU" bottom: "c" top: "c" }
+    ''')
+    assert msg["name"] == "x"
+    assert [int(d) for d in msg["input_dim"]] == [1, 3, 8, 8]
+    assert len(msg["layer"]) == 2
+    assert msg["layer"][0]["convolution_param"]["num_output"] == 4
+
+
+def test_prototxt_roundtrip_graph():
+    g = build_vgg16(batch=2, image_size=224)
+    text = cio.export_prototxt(g)
+    g2 = cio.import_prototxt(text, batch=2)
+    assert g2.convs == g.convs
+    assert g2.fcs == g.fcs
+    s1, s2 = shapes_of(g), shapes_of(g2)
+    for c in g.convs:
+        assert s1[g.layer(c).tops[0]] == s2[g2.layer(c).tops[0]]
+
+
+def test_caffemodel_roundtrip(tmp_path):
+    g, params = build_tiny_vgg(batch=2, image_size=16)
+    path = tmp_path / "m.caffemodel"
+    cio.save_weights(g, params, path)
+    g2, back = cio.load_weights(g, path)
+    assert set(back) == {k for k, v in params.items() if v}
+    for k in back:
+        np.testing.assert_array_equal(back[k]["W"], params[k]["W"])
+        if "b" in params[k]:
+            np.testing.assert_array_equal(back[k]["b"], params[k]["b"])
+
+
+def test_caffemodel_wire_blob_legacy_dims(tmp_path):
+    """Blobs carrying only legacy num/channels/height/width dims (pre-
+    BlobShape caffemodels) must decode with the right shape."""
+    data = np.arange(24, dtype=np.float32).reshape(2, 3, 2, 2)
+    blob = bytearray()
+    for fnum, v in ((1, 2), (2, 3), (3, 2), (4, 2)):
+        cm._tag(blob, fnum, 0)
+        cm._write_varint(blob, v)
+    cm._put_bytes(blob, 5, data.tobytes())
+    lp = bytearray()
+    cm._put_string(lp, 1, "conv")
+    cm._put_string(lp, 2, "Convolution")
+    cm._put_bytes(lp, 7, bytes(blob))
+    out = bytearray()
+    cm._put_string(out, 1, "legacy_net")
+    cm._put_bytes(out, 100, bytes(lp))
+    p = tmp_path / "legacy.caffemodel"
+    p.write_bytes(bytes(out))
+    name, layers = cm.load_caffemodel(p)
+    assert name == "legacy_net"
+    assert layers[0].name == "conv"
+    np.testing.assert_array_equal(layers[0].blobs[0], data)
+
+
+def test_full_model_export_import_forward(tmp_path):
+    """Export a pruned-ish tiny net, reimport, verify identical forward."""
+    from channel_pruning_tpu.ops.forward import build_forward, to_device_params
+
+    g, params = build_tiny_vgg(batch=2, image_size=16)
+    cio.export_model(g, params, tmp_path / "net.prototxt",
+                     tmp_path / "net.caffemodel")
+    g2, p2 = cio.import_model(tmp_path / "net.prototxt",
+                              tmp_path / "net.caffemodel", batch=2)
+    x = np.random.default_rng(0).normal(0, 1, (2, 3, 16, 16)).astype(np.float32)
+    o1, _ = build_forward(g, jit=False)(to_device_params(params), {"data": x})
+    o2, _ = build_forward(g2, jit=False)(to_device_params(p2), {"data": x})
+    np.testing.assert_allclose(np.asarray(o1["prob"]), np.asarray(o2["prob"]),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.skipif(not REF.exists(), reason="reference tree not mounted")
+def test_golden_parse_reference_vgg():
+    g = cio.import_prototxt_file(REF / "temp/vgg.prototxt", batch=10)
+    assert len(g.convs) == 13
+    assert len(g.fcs) == 3
+    shapes = shapes_of(g)
+    assert shapes[g.layer("conv5_3").tops[0]] == (10, 512, 14, 14)
+    assert shapes[g.layer("fc8").tops[0]][1] == 1000
+    # structure matches our builder layer-for-layer
+    ours = build_vgg16(batch=10)
+    assert g.convs == ours.convs
+
+
+@pytest.mark.skipif(not REF.exists(), reason="reference tree not mounted")
+def test_golden_parse_released_5x_channels():
+    g = cio.import_prototxt_file(REF / "temp/channel_pruning.prototxt", batch=10)
+    got = {c: int(g.layer(c).attr("num_output")) for c in g.convs}
+    for conv, want in VGG16_5X_CHANNELS.items():
+        assert got[conv] == want, (conv, got[conv], want)
+
+
+@pytest.mark.skipif(not REF.exists(), reason="reference tree not mounted")
+def test_golden_parse_reference_resnet_cp():
+    g = cio.import_prototxt_file(REF / "temp/resnet-50-cp.prototxt", batch=10)
+    assert len(g.by_type(LT.SELECT)) >= 10   # the fork's Filter layers
+    assert len(g.by_type(LT.BN)) >= 50
+    shapes = shapes_of(g)
+    # standard ResNet-50 stage shapes survive the pruned import
+    assert shapes[g.layer("fc1000").tops[0]][1] == 1000
