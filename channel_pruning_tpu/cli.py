@@ -1,0 +1,316 @@
+"""Command-line driver.
+
+Reference surface: `python3 train.py -action {c3,combine,addbn,splitrelu}`
+plus `python3 tools.py {flop,param,resnet}` (lib/train.py:123-184,
+tools.py:20-70). Here every action is a subcommand; any nested config knob is
+settable with repeated `--set dic.keep=3.0` flags (the reference reflected
+every cfgs.py leaf into argparse, train.py:128-153).
+
+Models come either from the registry (`--model vgg16`) or from Caffe
+artifacts (`--prototxt ... --weights ...`). With no `--data-dir`, calibration
+and finetune data are synthetic (smoke/bench mode).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _load_model(args):
+    from channel_pruning_tpu.io import caffe as cio
+    from channel_pruning_tpu.models import zoo
+    from channel_pruning_tpu.models.vgg import init_params
+
+    if args.prototxt:
+        g, params = cio.import_model(args.prototxt, args.weights,
+                                     batch=args.batch)
+        if not params:
+            params = init_params(g, seed=0)
+        return g, params
+    g = zoo.get_model(args.model, batch=args.batch)
+    params = init_params(g, seed=0)
+    if args.weights:
+        from channel_pruning_tpu.io.caffe import load_weights
+        g, loaded = load_weights(g, args.weights)
+        params.update(loaded)
+    return g, params
+
+
+def _calibration(args, graph):
+    """(n_batches, bs, 3, H, W) inputs from the dataset dir or synthetic."""
+    shape = graph.inputs[0].shape
+    bs = args.cal_batch
+    if args.data_dir:
+        from channel_pruning_tpu.data.pipeline import (calibration_batches,
+                                                       imagefolder_batches)
+        src = imagefolder_batches(args.data_dir, bs, crop=shape[2],
+                                  shuffle=True, seed=args.seed, loop=True)
+        inputs, labels = calibration_batches(src, args.cal_batches, bs,
+                                             image=shape[2])
+        return inputs, labels
+    rng = np.random.default_rng(args.seed)
+    inputs = rng.normal(0, 1, (args.cal_batches, bs) + tuple(shape[1:])
+                        ).astype(np.float32)
+    return inputs, None
+
+
+def _build_config(args):
+    from channel_pruning_tpu.utils.config import default_config
+
+    cfg = default_config()
+    for kv in args.set or []:
+        key, _, val = kv.partition("=")
+        cfg = cfg.replace_nested(key, val)
+    return cfg
+
+
+def _workdir(args) -> Path:
+    wd = Path(args.work_dir)
+    wd.mkdir(parents=True, exist_ok=True)
+    return wd
+
+
+def cmd_prune(args):
+    import jax
+
+    from channel_pruning_tpu.io import caffe as cio
+    from channel_pruning_tpu.models.vgg import VGG16_5X_CHANNELS, VGG16_RANKS_4X
+    from channel_pruning_tpu.ops.forward import to_device_params
+    from channel_pruning_tpu.pipeline import c3
+    from channel_pruning_tpu.sampling import FrozenCache, freeze
+    from channel_pruning_tpu.sampling.sampler import resnet_share_key
+    from channel_pruning_tpu.utils import flops
+
+    cfg = _build_config(args)
+    wd = _workdir(args)
+    t0 = time.perf_counter()
+    graph, params = _load_model(args)
+    print(f"[prune] model {graph.name}: {len(graph.convs)} convs, "
+          f"{flops.total_flops(graph):,} mults")
+
+    graph, params = c3.preprocess(graph, params)
+    inputs, labels = _calibration(args, graph)
+
+    cache_path = wd / f"frozen_{inputs.shape[0]}x{inputs.shape[1]}.npz"
+    if cache_path.exists() and not args.refreeze:
+        print(f"[prune] loading frozen cache {cache_path}")
+        cache = FrozenCache.load(cache_path)
+    else:
+        share = resnet_share_key(graph) if graph.sums else None
+        cache = freeze(graph, to_device_params(params), inputs,
+                       n_points=cfg.sample.n_points_per_layer,
+                       seed=cfg.sample.seed, share_key=share, labels=labels)
+        cache.save(cache_path)
+        print(f"[prune] froze calibration cache -> {cache_path}")
+
+    is_vgg = "vgg" in graph.name
+    if args.mode == "3c":
+        if args.ranks:
+            ranks = json.loads(Path(args.ranks).read_text())
+        elif is_vgg and len(graph.convs) == 13:
+            ranks = c3.ranks_for_speed(VGG16_RANKS_4X, args.speed)
+        else:
+            ranks = {c: max(1, int(graph.layer(c).attr("num_output") * 2
+                                   // int(args.speed)))
+                     for c in graph.convs[1:]}
+        res = c3.solve_3c(graph, params, cache, cfg, ranks)
+    else:
+        if args.channels:
+            targets = json.loads(Path(args.channels).read_text())
+        elif is_vgg and len(graph.convs) == 13 and abs(args.speed - 5.0) < 1e-6:
+            targets = VGG16_5X_CHANNELS
+        else:
+            targets = c3.prune_targets_from_ratio(graph, args.speed)
+        res = c3.solve_prune(graph, params, cache, cfg,
+                             channel_targets=targets)
+
+    dt = time.perf_counter() - t0
+    print(res.summary())
+    orig = flops.total_flops(graph, include_fc=False)
+    new = flops.total_flops(res.graph, include_fc=False)
+    print(f"[prune] conv mults {orig:,} -> {new:,} "
+          f"({orig / max(new, 1):.2f}x) in {dt:.1f}s")
+
+    prefix = "3C" if args.mode == "3c" else "cp"
+    cio.export_model(res.graph, res.params, wd / f"{prefix}_{graph.name}.prototxt",
+                     wd / f"{prefix}_{graph.name}.caffemodel")
+    np.savez_compressed(wd / f"{prefix}_{graph.name}_selections.npz",
+                        **{k: v for k, v in res.selections.items()})
+    print(f"[prune] artifacts -> {wd}/{prefix}_{graph.name}.(prototxt|caffemodel)")
+    return res
+
+
+def cmd_combine(args):
+    from channel_pruning_tpu.graph.rewrite import combine_hp
+    from channel_pruning_tpu.io import caffe as cio
+    from channel_pruning_tpu.utils import flops
+
+    graph, params = _load_model(args)
+    g2, p2 = combine_hp(graph, params)
+    orig = flops.total_flops(graph, include_fc=False)
+    new = flops.total_flops(g2, include_fc=False)
+    print(f"[combine] conv mults {orig:,} -> {new:,}")
+    wd = _workdir(args)
+    cio.export_model(g2, p2, wd / f"cb_{graph.name}.prototxt",
+                     wd / f"cb_{graph.name}.caffemodel")
+
+
+def cmd_addbn(args):
+    from channel_pruning_tpu.graph.rewrite import add_bn_after_convs, split_relu
+    from channel_pruning_tpu.io import caffe as cio
+    from channel_pruning_tpu.ops.forward import to_device_params
+    from channel_pruning_tpu.sampling.sampler import channel_stats
+
+    graph, params = _load_model(args)
+    graph = split_relu(graph)
+    inputs, _ = _calibration(args, graph)
+    tops = {c: graph.layer(c).tops[0] for c in graph.convs}
+    stats_by_top = channel_stats(graph, to_device_params(params), inputs,
+                                 tuple(tops.values()))
+    stats = {c: stats_by_top[t] for c, t in tops.items()}
+    g2, p2 = add_bn_after_convs(graph, params, stats)
+    wd = _workdir(args)
+    cio.export_model(g2, p2, wd / f"bn_{graph.name}.prototxt",
+                     wd / f"bn_{graph.name}.caffemodel")
+    print(f"[addbn] inserted BN after {len(stats)} convs -> {wd}")
+
+
+def cmd_splitrelu(args):
+    from channel_pruning_tpu.graph.rewrite import split_relu
+    from channel_pruning_tpu.io import caffe as cio
+
+    graph, params = _load_model(args)
+    g2 = split_relu(graph)
+    wd = _workdir(args)
+    cio.export_model(g2, params, wd / f"s_{graph.name}.prototxt",
+                     wd / f"s_{graph.name}.caffemodel")
+    print(f"[splitrelu] -> {wd}/s_{graph.name}.prototxt")
+
+
+def cmd_flop(args):
+    from channel_pruning_tpu.models import zoo
+    from channel_pruning_tpu.utils import flops
+
+    graph, _ = _load_model(args)
+    total = flops.total_flops(graph, include_fc=False, verbose=True)
+    print(f"[flop] conv mults: {total:,}")
+    denom = None
+    if args.model in zoo.MODEL_REGISTRY:
+        denom = zoo.MODEL_REGISTRY[args.model].get("flops")
+    if args.orig_flops:
+        denom = args.orig_flops
+    if denom:
+        print(f"[flop] {100.0 * total / denom:.2f}% of original "
+              f"({denom / total:.2f}x speed-up)")
+
+
+def cmd_finetune(args):
+    from channel_pruning_tpu.parallel.mesh import make_mesh
+    from channel_pruning_tpu.train import finetune as ft
+    from channel_pruning_tpu.utils.config import FinetuneConfig
+
+    graph, params = _load_model(args)
+    cfg = FinetuneConfig(base_lr=args.lr, batch_size=args.batch)
+    import jax
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    if args.data_dir:
+        from channel_pruning_tpu.data.pipeline import imagefolder_batches
+        data = imagefolder_batches(args.data_dir, args.batch, shuffle=True,
+                                   loop=True, random_crop=True)
+    else:
+        shape = graph.inputs[0].shape
+        data = ft.synthetic_batches(args.batch, image=shape[2])
+    wd = _workdir(args)
+    state = ft.finetune(graph, params, data, cfg, mesh=mesh,
+                        max_steps=args.steps,
+                        snapshot_dir=str(wd / "snapshots"))
+    from channel_pruning_tpu.io import caffe as cio
+    import jax as _jax
+    host = _jax.tree_util.tree_map(np.asarray, state.params)
+    cio.export_model(graph, host, wd / f"ft_{graph.name}.prototxt",
+                     wd / f"ft_{graph.name}.caffemodel")
+    print(f"[finetune] {state.step} steps -> {wd}/ft_{graph.name}.caffemodel")
+
+
+def cmd_eval(args):
+    from channel_pruning_tpu.train import evaluate as ev
+    from channel_pruning_tpu.train.finetune import synthetic_batches
+
+    graph, params = _load_model(args)
+    if args.data_dir:
+        from channel_pruning_tpu.data.pipeline import imagefolder_batches
+        data = imagefolder_batches(args.data_dir, args.batch)
+    else:
+        shape = graph.inputs[0].shape
+        data = synthetic_batches(args.batch, image=shape[2])
+    res = ev.evaluate(graph, params, data, max_batches=args.eval_batches,
+                      verbose=True)
+    print(json.dumps(res))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="channel_pruning_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--model", default="vgg16")
+        p.add_argument("--prototxt", default=None)
+        p.add_argument("--weights", default=None)
+        p.add_argument("--batch", type=int, default=10)
+        p.add_argument("--work-dir", default="work")
+        p.add_argument("--data-dir", default=None)
+        p.add_argument("--seed", type=int, default=0)
+        p.add_argument("--set", action="append", metavar="KEY=VAL",
+                       help="nested config override, e.g. dic.keep=3.0")
+
+    p = sub.add_parser("prune", help="c3 compression pipeline")
+    common(p)
+    p.add_argument("--mode", choices=["prune", "3c"], default="prune")
+    p.add_argument("--speed", type=float, default=5.0)
+    p.add_argument("--cal-batches", type=int, default=50)
+    p.add_argument("--cal-batch", type=int, default=10)
+    p.add_argument("--ranks", default=None, help="json file {conv: rank}")
+    p.add_argument("--channels", default=None, help="json file {conv: keep}")
+    p.add_argument("--refreeze", action="store_true")
+    p.set_defaults(fn=cmd_prune)
+
+    p = sub.add_parser("combine", help="merge H into P convs (combineHP)")
+    common(p)
+    p.set_defaults(fn=cmd_combine)
+
+    p = sub.add_parser("addbn", help="measure stats and insert BN for finetune")
+    common(p)
+    p.add_argument("--cal-batches", type=int, default=50)
+    p.add_argument("--cal-batch", type=int, default=10)
+    p.set_defaults(fn=cmd_addbn)
+
+    p = sub.add_parser("splitrelu", help="make in-place ReLUs addressable")
+    common(p)
+    p.set_defaults(fn=cmd_splitrelu)
+
+    p = sub.add_parser("flop", help="FLOPs accounting")
+    common(p)
+    p.add_argument("--orig-flops", type=int, default=None)
+    p.set_defaults(fn=cmd_flop)
+
+    p = sub.add_parser("finetune", help="data-parallel SGD finetune")
+    common(p)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--steps", type=int, default=1000)
+    p.set_defaults(fn=cmd_finetune)
+
+    p = sub.add_parser("eval", help="top-1/top-5 evaluation")
+    common(p)
+    p.add_argument("--eval-batches", type=int, default=None)
+    p.set_defaults(fn=cmd_eval)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

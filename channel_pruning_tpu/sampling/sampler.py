@@ -250,3 +250,53 @@ def freeze(graph: Graph, params, inputs: np.ndarray, *, tensors: Sequence[str] |
                             chunk_batches=chunk_batches)
     return FrozenCache(inputs=np.asarray(inputs), plan=plan, feats=feats,
                        labels=labels)
+
+
+# ---------------------------------------------------------------------------
+# per-channel statistics (for BN restoration)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def _stats_chunk_fn(graph: Graph, tensors: tuple[str, ...]):
+    input_name = graph.inputs[0].name
+
+    @jax.jit
+    def fn(params, x):
+        _, caps = run_graph(graph, params, {input_name: x}, capture=tensors)
+        out = {}
+        for t in tensors:
+            v = caps[t]
+            axes = (0, 2, 3) if v.ndim == 4 else (0,)
+            n = 1
+            for a in axes:
+                n *= v.shape[a]
+            out[t] = (jnp.sum(v, axis=axes), jnp.sum(v * v, axis=axes),
+                      jnp.asarray(n, jnp.float32))
+        return out
+
+    return fn
+
+
+def channel_stats(graph: Graph, params, inputs: np.ndarray,
+                  tensors: Sequence[str], chunk_batches: int = 25
+                  ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """Per-channel (mean, std) of each tensor over the whole calibration set
+    and all spatial positions — the measurement pass of the reference's
+    add_bn (lib/net.py:1001-1019 accumulates mean/var over ~50k images)."""
+    tensors = tuple(tensors)
+    fn = _stats_chunk_fn(graph, tensors)
+    acc: dict[str, list] = {t: [0.0, 0.0, 0.0] for t in tensors}
+    for lo, hi in _chunk_iter(inputs, chunk_batches):
+        x = jnp.asarray(inputs[lo:hi].reshape((-1,) + inputs.shape[2:]))
+        res = fn(params, x)
+        for t in tensors:
+            s, ss, n = res[t]
+            acc[t][0] += np.asarray(s, np.float64)
+            acc[t][1] += np.asarray(ss, np.float64)
+            acc[t][2] += float(n)
+    out = {}
+    for t, (s, ss, n) in acc.items():
+        mean = s / n
+        var = np.maximum(ss / n - mean ** 2, 1e-12)
+        out[t] = (mean.astype(np.float32), np.sqrt(var).astype(np.float32))
+    return out
