@@ -96,3 +96,48 @@ def build_tiny_resnet(batch: int = 4, image_size: int = 32, num_classes: int = 1
             p["W"] = (1.0 + rng.normal(0, 0.1, p["W"].shape)).astype(np.float32)
             p["b"] = rng.normal(0, 0.1, p["b"].shape).astype(np.float32)
     return g, params
+
+
+# Released 2x pruned ResNet-50 structure (channel-count DATA extracted from
+# the reference's temp/resnet-50-cp.prototxt; golden-checked by
+# tests/test_caffe_io.py). Three tables:
+#   * surviving branch2a widths (pruned via branch2b's input selection)
+#   * surviving branch2b widths (pruned via branch2c's input selection)
+#   * Filter (channel-gate) keep counts in front of each block's branch2a,
+#     keyed by that CONSUMER conv (temp/resnet-50-cp.prototxt Filter layers)
+RESNET50_2X_BRANCH2A = {
+    "res2a_branch2a": 64, "res2b_branch2a": 51, "res2c_branch2a": 50,
+    "res3a_branch2a": 128, "res3b_branch2a": 105, "res3c_branch2a": 105,
+    "res3d_branch2a": 128,
+    "res4a_branch2a": 256, "res4b_branch2a": 209, "res4c_branch2a": 204,
+    "res4d_branch2a": 212, "res4e_branch2a": 211, "res4f_branch2a": 256,
+    "res5a_branch2a": 512, "res5b_branch2a": 512, "res5c_branch2a": 512,
+}
+
+RESNET50_2X_BRANCH2B = {
+    "res2a_branch2b": 55, "res2b_branch2b": 39, "res2c_branch2b": 37,
+    "res3a_branch2b": 106, "res3b_branch2b": 72, "res3c_branch2b": 72,
+    "res3d_branch2b": 110,
+    "res4a_branch2b": 225, "res4b_branch2b": 147, "res4c_branch2b": 158,
+    "res4d_branch2b": 155, "res4e_branch2b": 148, "res4f_branch2b": 213,
+    "res5a_branch2b": 433, "res5b_branch2b": 437, "res5c_branch2b": 440,
+}
+
+RESNET50_2X_FILTERS = {
+    "res2a_branch2a": 35, "res2b_branch2a": 101, "res2c_branch2a": 97,
+    "res3a_branch2a": 144, "res3b_branch2a": 205, "res3c_branch2a": 198,
+    "res3d_branch2a": 288,
+    "res4a_branch2a": 278, "res4b_branch2a": 418, "res4c_branch2a": 407,
+    "res4d_branch2a": 423, "res4e_branch2a": 412, "res4f_branch2a": 595,
+    "res5a_branch2a": 606, "res5b_branch2a": 1222, "res5c_branch2a": 1147,
+}
+
+
+def resnet50_2x_targets() -> tuple[dict[str, int], dict[str, int]]:
+    """(producer-keyed shrink targets, consumer-keyed input-gate targets)
+    reproducing the released 2x structure: shrinking branch2a/branch2b
+    outputs to the released widths, gating each block input ahead of
+    branch2a with a Select/Filter."""
+    prod = dict(RESNET50_2X_BRANCH2A)
+    prod.update(RESNET50_2X_BRANCH2B)
+    return prod, dict(RESNET50_2X_FILTERS)

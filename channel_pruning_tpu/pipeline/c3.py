@@ -124,17 +124,35 @@ def prune_targets_from_ratio(graph: Graph, speed_ratio: float,
     return targets
 
 
+def _residual_context(g_run: Graph, consumer_top: str):
+    """If `consumer_top` feeds an Eltwise sum, return (eltwise top, other
+    bottom tensors) — the residual-compensation context (reference appresb,
+    lib/net.py:1641-1683)."""
+    for e in g_run.by_type(LT.ELTWISE):
+        if consumer_top in e.bottoms and e.attr("operation", "sum") == "sum":
+            return e.tops[0], tuple(b for b in e.bottoms if b != consumer_top)
+    return None, ()
+
+
 def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                 cache: sampling.FrozenCache, cfg: Config,
                 channel_targets: Mapping[str, int] | None = None,
+                input_targets: Mapping[str, int] | None = None,
+                residual_compensate: bool = True,
                 verbose: bool = True) -> SolveResult:
-    """Sequential whole-model channel pruning (reference R3's pruning arm
-    with dic.vh handling only selection; per-layer loop net.py:1406-1459).
+    """Sequential whole-model channel pruning (reference R3's pruning arm,
+    per-layer loop net.py:1406-1459).
 
-    `channel_targets` maps each PRODUCER conv to its surviving output-channel
-    count (e.g. models.vgg.VGG16_5X_CHANNELS). A producer is pruned by
-    LASSO-selecting its consumer's input channels. Untargeted convs pass
-    through.
+    * `channel_targets` maps a PRODUCER conv to its surviving output-channel
+      count (e.g. models.vgg.VGG16_5X_CHANNELS): the producer is pruned by
+      LASSO-selecting its consumer's input channels and physically shrunk.
+    * `input_targets` maps a CONSUMER conv to its surviving input count when
+      the producer is NOT shrinkable (residual junctions): a Select/Filter
+      gate is inserted instead (reference Filter layers,
+      temp/resnet-50-cp.prototxt; net.py:1627-1630).
+    * With `residual_compensate`, a consumer feeding an Eltwise sum is fit
+      against `gt(block) − current(shortcut)` so the whole block output is
+      reconstructed (reference appresb, net.py:1641-1683).
     """
     timer = Timer()
     g_run = graph
@@ -143,16 +161,19 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
     p_out = {k: dict(v) for k, v in params.items()}
     reports: list[LayerReport] = []
     selections: dict[str, np.ndarray] = {}
+    chunk = max(cfg.sample.device_batch // cache.batch_size, 1)
 
     convs = list(g_run.convs)
     for i, consumer in enumerate(convs):
-        if i == 0:
-            continue
         bottom = g_run.layer(consumer).bottoms[0]
         producer = prune_mod.producer_conv(g_run, bottom, before=consumer)
-        if producer is None:
-            continue
-        target = None if channel_targets is None else channel_targets.get(producer)
+        target = None
+        gate_only = False
+        if input_targets is not None and consumer in input_targets:
+            target = input_targets[consumer]
+            gate_only = True
+        elif channel_targets is not None and producer is not None and i > 0:
+            target = channel_targets.get(producer)
         if target is None:
             continue
         n_in = p_run[consumer]["W"].shape[1]
@@ -161,12 +182,24 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         timer.tic()
         dev_run = to_device_params(p_run)
         X = sampling.sample_patches(g_run, dev_run, cache.inputs, consumer,
-                                    cache.plan,
-                                    chunk_batches=cfg.sample.device_batch // cache.batch_size or 1)
+                                    cache.plan, chunk_batches=chunk)
         top = g_run.layer(consumer).tops[0]
         b2 = p_run[consumer].get("b", np.zeros(p_run[consumer]["W"].shape[0],
                                                np.float32))
-        Y = cache.feats[top] - b2
+        e_top, others = (_residual_context(g_run, top) if residual_compensate
+                         else (None, ()))
+        if e_top is not None and e_top in cache.feats:
+            # fit the branch so the BLOCK output matches ground truth:
+            # Y = gt(block) − Σ current(other bottoms) − b
+            cur = sampling.sample_features(g_run, dev_run, cache.inputs,
+                                           cache.plan, others,
+                                           chunk_batches=chunk)
+            Y = cache.feats[e_top].astype(np.float64) - b2
+            for o in others:
+                Y = Y - cur[o]
+            Y = Y.astype(np.float32)
+        else:
+            Y = cache.feats[top] - b2
         res = prune_mod.select_and_reconstruct(
             X, p_run[consumer]["W"], Y, int(target),
             rank_tol=cfg.dic.rank_tol, alpha0=cfg.solve.alpha,
@@ -178,15 +211,17 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         # running graph: zero-scattered reconstruction (static shapes)
         p_run[consumer]["W"] = _scatter_inputs(res.W, res.keep)
         p_run[consumer]["b"] = res.b
-        # output graph: physical shrink
-        g_out, p_out = prune_mod.apply_pruning(g_out, p_out, consumer, res)
+        # output graph: physical shrink, or Select gate at junctions
+        g_out, p_out = prune_mod.apply_pruning(
+            g_out, p_out, consumer, res, shrink_producer=not gate_only)
         selections[consumer] = res.keep
         reports.append(LayerReport(
             conv=consumer, kept=int(res.keep.sum()), total=int(n_in),
             alpha=res.alpha, rmse_before=res.rmse_before,
             rmse_after=res.rmse_after, seconds=dt))
         if verbose:
-            print(f"[prune] {consumer}: keep {int(res.keep.sum())}/{n_in} "
+            kind = "gate" if gate_only else "prune"
+            print(f"[{kind}] {consumer}: keep {int(res.keep.sum())}/{n_in} "
                   f"rMSE {res.rmse_before:.4f}->{res.rmse_after:.4f} ({dt:.2f}s)")
     return SolveResult(graph=g_out, params=p_out, reports=reports,
                        selections=selections)

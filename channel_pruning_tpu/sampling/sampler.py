@@ -239,10 +239,17 @@ def freeze(graph: Graph, params, inputs: np.ndarray, *, tensors: Sequence[str] |
            share_key: Callable[[str], str] | None = None,
            labels: np.ndarray | None = None) -> FrozenCache:
     """Sample ground-truth responses of every conv top (default) on the given
-    calibration batches. The graph should have ReLUs split
-    (rewrite.split_relu) so conv outputs are addressable."""
+    calibration batches; for residual nets, Eltwise tops and bottoms are
+    included too (targets + shortcut replay points for the residual
+    compensation, reference lib/net.py:1641-1683). The graph should have
+    ReLUs split (rewrite.split_relu) so conv outputs are addressable."""
     if tensors is None:
-        tensors = tuple(graph.layer(c).tops[0] for c in graph.convs)
+        names = [graph.layer(c).tops[0] for c in graph.convs]
+        for e in graph.by_type(LT.ELTWISE):
+            names.append(e.tops[0])
+            names.extend(e.bottoms)
+        seen = set()
+        tensors = tuple(t for t in names if not (t in seen or seen.add(t)))
     shapes = shapes_of(graph, batch=inputs.shape[1])
     plan = make_point_plan(shapes, tensors, inputs.shape[0], n_points, seed,
                            share_key=share_key)
