@@ -107,8 +107,27 @@ def cd_solve_grid(G: jax.Array, b: jax.Array, alphas_n: jax.Array,
     return jax.vmap(lambda a, b0: cd_solve(G, b, a, b0, n_sweeps))(alphas_n, beta0)
 
 
+def support_mask(betas: jax.Array, rel_eps: float = 1e-6) -> jax.Array:
+    """Nonzero mask with a relative threshold: coordinate-descent paths that
+    differ only in stopping order leave ~1e-7 residues on coordinates that a
+    stricter run keeps at exactly 0 — count both as inactive."""
+    scale = jnp.maximum(jnp.max(jnp.abs(betas), axis=-1, keepdims=True), 1e-30)
+    return jnp.abs(betas) > rel_eps * scale
+
+
 def support_sizes(betas: jax.Array) -> jax.Array:
-    return jnp.sum(betas != 0.0, axis=-1)
+    return jnp.sum(support_mask(betas), axis=-1)
+
+
+def _solve_grid(G: jax.Array, b: jax.Array, alphas_n: jax.Array,
+                n_sweeps: int) -> jax.Array:
+    """Dispatch the alpha-grid CD solve: fused Pallas kernel on TPU
+    (kernels/lasso_cd.py), pure-XLA fallback elsewhere."""
+    from channel_pruning_tpu.kernels import lasso_cd
+
+    if lasso_cd.pallas_available():
+        return lasso_cd.cd_solve_grid_pallas(G, b, alphas_n, n_sweeps=n_sweeps)
+    return cd_solve_grid(G, b, alphas_n, n_sweeps=n_sweeps)
 
 
 def search_alpha(gram: LassoGram, rank: int, rank_tol: float,
@@ -134,13 +153,13 @@ def search_alpha(gram: LassoGram, rank: int, rank_tol: float,
     lo, hi = 0.0, None
     for round_i in range(max_rounds):
         a = jnp.asarray(alphas * N, dtype=gram.G.dtype)
-        betas = cd_solve_grid(gram.G, gram.b, a, n_sweeps=n_sweeps)
+        betas = _solve_grid(gram.G, gram.b, a, n_sweeps=n_sweeps)
         supports = np.asarray(support_sizes(betas))
         in_band = np.where((supports >= lbound) & (supports <= rbound))[0]
         if in_band.size:
             # smallest support in band = closest to the requested rank
             best = in_band[np.argmin(supports[in_band])]
-            mask = np.asarray(betas[best]) != 0.0
+            mask = np.asarray(support_mask(betas[best]))
             return mask, float(alphas[best]), int(supports[best])
         # bracket: largest alpha with support > rbound, smallest with < lbound
         over = np.where(supports > rbound)[0]   # alpha too small
@@ -159,7 +178,7 @@ def search_alpha(gram: LassoGram, rank: int, rank_tol: float,
     # fall back to nearest support
     dist = np.minimum(np.abs(supports - lbound), np.abs(supports - rbound))
     best = int(np.argmin(dist))
-    mask = np.asarray(betas[best]) != 0.0
+    mask = np.asarray(support_mask(betas[best]))
     return mask, float(alphas[best]), int(supports[best])
 
 

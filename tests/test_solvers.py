@@ -220,3 +220,20 @@ def test_itq_chain_bias_equivalence(rng):
     np.testing.assert_allclose(chain, merged, rtol=1e-3, atol=1e-3)
     # quality: relu of chain approximates relu of ground truth
     assert oracle.rel_error(oracle.relu(gt), oracle.relu(chain)) < 0.15
+
+
+def test_pallas_cd_kernel_interpret_parity(rng):
+    """The fused Pallas CD kernel (interpret mode on CPU) must match the
+    XLA grid solver coordinate-for-coordinate."""
+    from channel_pruning_tpu.kernels import lasso_cd
+
+    Z, y, _ = _sparse_problem(rng, n=400, c=24, k=6)
+    gram = lasso.lasso_gram(Z, y)
+    alphas = (np.geomspace(1e-3, 0.5, 8) * gram.n_samples).astype(np.float32)
+    b_x = np.asarray(lasso.cd_solve_grid(gram.G, gram.b, alphas, n_sweeps=300))
+    b_p = np.asarray(lasso_cd.cd_solve_grid_pallas(
+        gram.G, gram.b, alphas, n_sweeps=300, interpret=True))
+    np.testing.assert_allclose(b_p, b_x, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(lasso.support_sizes(b_p)),
+        np.asarray(lasso.support_sizes(b_x)))
