@@ -103,7 +103,9 @@ def cmd_prune(args):
         share = resnet_share_key(graph) if graph.sums else None
         cache = freeze(graph, to_device_params(params), inputs,
                        n_points=cfg.sample.n_points_per_layer,
-                       seed=cfg.sample.seed, share_key=share, labels=labels)
+                       seed=cfg.sample.seed, share_key=share, labels=labels,
+                       chunk_batches=max(cfg.sample.device_batch
+                                         // inputs.shape[1], 1))
         cache.save(cache_path)
         print(f"[prune] froze calibration cache -> {cache_path}")
 

@@ -40,7 +40,10 @@ def preprocess(img: jax.Array, *, new_dim: int = 256, crop: int = 224,
         nh, nw = new_dim, max(int(round(w * new_dim / h)), new_dim)
     else:
         nh, nw = max(int(round(h * new_dim / w)), new_dim), new_dim
-    img = jax.image.resize(img, (nh, nw, img.shape[2]), method="bicubic")
+    # antialias=False matches OpenCV INTER_CUBIC — what the Caffe fork's
+    # `bicubic: true` actually runs (plain 4-tap Keys kernel, no prefilter)
+    img = jax.image.resize(img, (nh, nw, img.shape[2]), method="bicubic",
+                           antialias=False)
     if random_crop and rng is not None:
         ky, kx = jax.random.split(rng)
         y0 = jax.random.randint(ky, (), 0, nh - crop + 1)

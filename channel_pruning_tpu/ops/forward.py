@@ -176,10 +176,17 @@ def compute_layer(l: Layer, env: dict[str, jax.Array], params: Params,
 def run_graph(graph: Graph, params: Params, inputs: Mapping[str, jax.Array],
               *, capture: Sequence[str] = (), train: bool = False,
               rng: jax.Array | None = None, compute_dtype=None,
+              capture_transforms: Mapping[str, Any] | None = None,
               ) -> tuple[dict[str, jax.Array], dict[str, jax.Array]]:
     """Interpret the graph. Inputs/outputs/captures are NCHW at the API
     boundary (Caffe convention, what the solver math expects); activations
-    are NHWC internally."""
+    are NHWC internally.
+
+    `capture_transforms` maps a tensor name to fn(NCHW array) -> array,
+    applied AT PRODUCTION TIME: only the (small) transformed value is kept
+    live, so sampling every conv top of a deep net doesn't pin every full
+    feature map in HBM simultaneously (the whole-net freeze pass would
+    otherwise need ~13 GB for VGG-16 at 250 images)."""
     env: dict[str, jax.Array] = {}
     for spec in graph.inputs:
         x = inputs[spec.name]
@@ -188,21 +195,23 @@ def run_graph(graph: Graph, params: Params, inputs: Mapping[str, jax.Array],
         env[spec.name] = x
     capture = tuple(capture)
     caps: dict[str, jax.Array] = {}
-    remaining = set(capture)
+    remaining = set(capture) | set(capture_transforms or ())
+
+    def to_nchw(v: jax.Array) -> jax.Array:
+        return jnp.transpose(v, (0, 3, 1, 2)) if v.ndim == 4 else v
+
     for l in graph.layers:
         compute_layer(l, env, params, train=train, rng=rng, compute_dtype=compute_dtype)
         # capture the value of a tensor at the point of production, before
         # any in-place (aliased-top) successor overwrites it
         for tname in l.tops:
             if tname in remaining and tname in env:
-                caps[tname] = env[tname]
+                tf = (capture_transforms or {}).get(tname)
+                caps[tname] = tf(to_nchw(env[tname])) if tf is not None \
+                    else to_nchw(env[tname])
                 remaining.discard(tname)
 
-    def to_nchw(v: jax.Array) -> jax.Array:
-        return jnp.transpose(v, (0, 3, 1, 2)) if v.ndim == 4 else v
-
     outputs = {t: to_nchw(env[t]) for t in graph.outputs() if t in env}
-    caps = {k: to_nchw(v) for k, v in caps.items()}
     return outputs, caps
 
 

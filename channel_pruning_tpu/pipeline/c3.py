@@ -35,6 +35,7 @@ import math
 from dataclasses import dataclass, field
 from typing import Mapping
 
+import jax.numpy as jnp
 import numpy as np
 
 from channel_pruning_tpu.graph import rewrite
@@ -162,6 +163,10 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
     reports: list[LayerReport] = []
     selections: dict[str, np.ndarray] = {}
     chunk = max(cfg.sample.device_batch // cache.batch_size, 1)
+    # device-resident running params, updated INCREMENTALLY per layer —
+    # re-uploading the whole pytree each layer would move ~0.5 GB/layer for
+    # VGG-16 over the host<->TPU link
+    dev_run = to_device_params(p_run)
 
     convs = list(g_run.convs)
     for i, consumer in enumerate(convs):
@@ -180,7 +185,6 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         if target >= n_in:
             continue
         timer.tic()
-        dev_run = to_device_params(p_run)
         X = sampling.sample_patches(g_run, dev_run, cache.inputs, consumer,
                                     cache.plan, chunk_batches=chunk)
         top = g_run.layer(consumer).tops[0]
@@ -211,6 +215,8 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         # running graph: zero-scattered reconstruction (static shapes)
         p_run[consumer]["W"] = _scatter_inputs(res.W, res.keep)
         p_run[consumer]["b"] = res.b
+        dev_run = dict(dev_run)
+        dev_run[consumer] = {k: jnp.asarray(v) for k, v in p_run[consumer].items()}
         # output graph: physical shrink, or Select gate at junctions
         g_out, p_out = prune_mod.apply_pruning(
             g_out, p_out, consumer, res, shrink_producer=not gate_only)
@@ -275,6 +281,12 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
 
     convs = list(g_run.convs)
     chunk = max(cfg.sample.device_batch // cache.batch_size, 1)
+    dev_run = to_device_params(p_run)   # incremental device copy (see solve_prune)
+
+    def _sync(name: str) -> None:
+        nonlocal dev_run
+        dev_run = dict(dev_run)
+        dev_run[name] = {k: jnp.asarray(v) for k, v in p_run[name].items()}
 
     for i, conv in enumerate(convs):
         if conv in skip or conv not in ranks:
@@ -291,7 +303,6 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         timer.tic()
 
         # ---- (a) spatial decomposition --------------------------------
-        dev_run = to_device_params(p_run)
         X = sampling.sample_patches(g_run, dev_run, cache.inputs, conv,
                                     cache.plan, chunk_batches=chunk)
         vh = lowrank.vh_decompose(W_cur, rank, X=X, Y=Ygt,
@@ -299,11 +310,11 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                                   iters=cfg.solve.nonlinear_iters)
         p_run[conv]["W"] = np.asarray(vh.VHr)
         p_run[conv]["b"] = np.asarray(vh.b)
+        _sync(conv)
         t_spatial = timer.toc()
 
         # ---- (b) channel decomposition (ITQ) --------------------------
         timer.tic()
-        dev_run = to_device_params(p_run)
         feat = sampling.sample_features(g_run, dev_run, cache.inputs,
                                         cache.plan, (top,),
                                         chunk_batches=chunk)[top]
@@ -313,6 +324,7 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                                     iters=cfg.solve.itq_iters)
         p_run[conv]["W"] = np.asarray(itq.W12)
         p_run[conv]["b"] = np.asarray(itq.B)
+        _sync(conv)
         t_channel = timer.toc()
 
         # ---- output graph: conv -> V, insert H and P ------------------
@@ -341,7 +353,6 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         if convnext is not None and cfg.dic.vh:
             d_c = int(math.floor(n_out / cfg.dic.c_ratio))
             timer.tic()
-            dev_run = to_device_params(p_run)
             Xn = sampling.sample_patches(g_run, dev_run, cache.inputs,
                                          convnext, cache.plan,
                                          chunk_batches=chunk)
@@ -359,6 +370,7 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             t_prune = timer.toc()
             p_run[convnext]["W"] = _scatter_inputs(res.W, res.keep)
             p_run[convnext]["b"] = res.b
+            _sync(convnext)
             input_keep[convnext] = res.keep
             selections[convnext] = res.keep
             # output graph: slice this conv's P rows, install consumer W

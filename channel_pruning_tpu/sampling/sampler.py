@@ -85,18 +85,20 @@ def _feature_chunk_fn(graph: Graph, tensors: tuple[str, ...], batch_size: int):
 
     @jax.jit
     def fn(params, x, ys, xs):
-        _, caps = run_graph(graph, params, {input_name: x}, capture=tensors)
-        out = {}
-        for t in tensors:
-            v = caps[t]
-            if v.ndim != 4 or ys[t].shape[1] == 0:
-                out[t] = v.reshape(v.shape[0], -1)    # dense (FC/1x1 tops)
-                continue
-            g = ys[t].shape[0]
-            vg = v.reshape((g, batch_size) + v.shape[1:])
-            rows = jax.vmap(gather_channels_at_points)(vg, ys[t], xs[t])
-            out[t] = rows.reshape(-1, rows.shape[-1])
-        return out
+        def make_tf(t):
+            def tf(v):
+                if v.ndim != 4 or ys[t].shape[1] == 0:
+                    return v.reshape(v.shape[0], -1)   # dense (FC/1x1 tops)
+                g = ys[t].shape[0]
+                vg = v.reshape((g, batch_size) + v.shape[1:])
+                rows = jax.vmap(gather_channels_at_points)(vg, ys[t], xs[t])
+                return rows.reshape(-1, rows.shape[-1])
+            return tf
+
+        # gathers run at production time so full feature maps die immediately
+        _, caps = run_graph(graph, params, {input_name: x},
+                            capture_transforms={t: make_tf(t) for t in tensors})
+        return caps
 
     return fn
 
@@ -109,14 +111,18 @@ def _patch_chunk_fn(graph: Graph, bottom: str, batch_size: int,
 
     @jax.jit
     def fn(params, x, ys, xs):
-        _, caps = run_graph(graph, params, {input_name: x}, capture=(bottom,))
-        v = caps[bottom]
-        g = ys.shape[0]
-        vg = v.reshape((g, batch_size) + v.shape[1:])
-        patches = jax.vmap(
-            lambda a, yy, xx: gather_patches_at_points(a, yy, xx, kernel, stride, pad)
-        )(vg, ys, xs)
-        return patches.reshape((-1,) + patches.shape[2:])
+        def tf(v):
+            g = ys.shape[0]
+            vg = v.reshape((g, batch_size) + v.shape[1:])
+            patches = jax.vmap(
+                lambda a, yy, xx: gather_patches_at_points(a, yy, xx, kernel,
+                                                           stride, pad)
+            )(vg, ys, xs)
+            return patches.reshape((-1,) + patches.shape[2:])
+
+        _, caps = run_graph(graph, params, {input_name: x},
+                            capture_transforms={bottom: tf})
+        return caps[bottom]
 
     return fn
 
@@ -269,17 +275,17 @@ def _stats_chunk_fn(graph: Graph, tensors: tuple[str, ...]):
 
     @jax.jit
     def fn(params, x):
-        _, caps = run_graph(graph, params, {input_name: x}, capture=tensors)
-        out = {}
-        for t in tensors:
-            v = caps[t]
+        def tf(v):
             axes = (0, 2, 3) if v.ndim == 4 else (0,)
             n = 1
             for a in axes:
                 n *= v.shape[a]
-            out[t] = (jnp.sum(v, axis=axes), jnp.sum(v * v, axis=axes),
-                      jnp.asarray(n, jnp.float32))
-        return out
+            return (jnp.sum(v, axis=axes), jnp.sum(v * v, axis=axes),
+                    jnp.asarray(n, jnp.float32))
+
+        _, caps = run_graph(graph, params, {input_name: x},
+                            capture_transforms={t: tf for t in tensors})
+        return caps
 
     return fn
 

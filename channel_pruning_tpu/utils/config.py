@@ -65,7 +65,9 @@ class SampleConfig:
     batch_size: int = 10
     n_points_per_layer: int = 10
     seed: int = 0
-    device_batch: int = 250      # images per device forward step (chunking)
+    device_batch: int = 100      # images per device forward step: bounded so
+    # two adjacent VGG-scale feature maps (~1.3 GB each at 100 images) plus
+    # weights fit HBM with the inline capture-gather (ops/forward.py)
 
 
 @dataclass(frozen=True)
