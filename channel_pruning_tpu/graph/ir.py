@@ -294,14 +294,19 @@ def shapes_of(graph: Graph, params: Mapping[str, Mapping[str, Any]] | None = Non
                 k = int(l.attr("kernel_size"))
                 s = int(l.attr("stride", 1))
                 p = int(l.attr("pad", 0))
-                oh = ceil_div(h + 2 * p - k, s) + 1
-                ow = ceil_div(w + 2 * p - k, s) + 1
-                # Caffe clips the last window to start inside the (padded) input
-                if p > 0:
-                    if (oh - 1) * s >= h + p:
-                        oh -= 1
-                    if (ow - 1) * s >= w + p:
-                        ow -= 1
+                if l.attr("ceil_mode", True):
+                    oh = ceil_div(h + 2 * p - k, s) + 1
+                    ow = ceil_div(w + 2 * p - k, s) + 1
+                    # Caffe clips the last window to start inside the
+                    # (padded) input
+                    if p > 0:
+                        if (oh - 1) * s >= h + p:
+                            oh -= 1
+                        if (ow - 1) * s >= w + p:
+                            ow -= 1
+                else:  # floor mode (torch-style; Xception)
+                    oh = (h + 2 * p - k) // s + 1
+                    ow = (w + 2 * p - k) // s + 1
                 env[l.tops[0]] = (n, c, oh, ow)
         elif l.type == LT.FC:
             shp = env[l.bottoms[0]]

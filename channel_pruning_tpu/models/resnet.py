@@ -141,3 +141,78 @@ def resnet50_2x_targets() -> tuple[dict[str, int], dict[str, int]]:
     prod = dict(RESNET50_2X_BRANCH2A)
     prod.update(RESNET50_2X_BRANCH2B)
     return prod, dict(RESNET50_2X_FILTERS)
+
+
+# ---------------------------------------------------------------------------
+# CIFAR generators (capability parity with the reference's programmatic cifar
+# resnet/plain builders, lib/builder.py:888-1022)
+# ---------------------------------------------------------------------------
+
+def build_cifar_resnet(n: int = 3, batch: int = 128, num_classes: int = 10,
+                       widths=(16, 32, 64), name: str | None = None) -> Graph:
+    """The 6n+2 CIFAR ResNet (basic blocks, option-A style with 1x1
+    projection shortcuts on stride-2 transitions)."""
+    layers: list[Layer] = []
+    _conv_bn(layers, "conv1", "data", widths[0], kernel=3, stride=1, pad=1,
+             bn_prefix="_conv1", relu=True)
+    prev = "conv1"
+    for si, width in enumerate(widths):
+        for bi in range(n):
+            tag = f"{si + 2}{_BLOCK_LETTERS[bi]}"
+            block = f"res{tag}"
+            stride = 2 if (si > 0 and bi == 0) else 1
+            if stride != 1 or (bi == 0 and si > 0):
+                shortcut = _conv_bn(layers, f"{block}_branch1", prev, width,
+                                    kernel=1, stride=stride, pad=0,
+                                    bn_prefix=f"{tag}_branch1", relu=False)
+            else:
+                shortcut = prev
+            a = _conv_bn(layers, f"{block}_branch2a", prev, width, kernel=3,
+                         stride=stride, pad=1, bn_prefix=f"{tag}_branch2a",
+                         relu=True)
+            b = _conv_bn(layers, f"{block}_branch2b", a, width, kernel=3,
+                         stride=1, pad=1, bn_prefix=f"{tag}_branch2b",
+                         relu=False)
+            layers.append(Layer.make(block, LT.ELTWISE, [shortcut, b],
+                                     operation="sum"))
+            layers.append(Layer.make(f"{block}_relu", LT.RELU, [block], [block]))
+            prev = block
+    layers.append(Layer.make("global_pool", LT.POOL, [prev], pool="ave",
+                             global_pooling=True))
+    layers.append(Layer.make("fc", LT.FC, ["global_pool"],
+                             num_output=num_classes, bias=True))
+    layers.append(Layer.make("prob", LT.SOFTMAX, ["fc"]))
+    g = Graph(name=name or f"cifar_resnet{6 * n + 2}",
+              inputs=(TensorSpec("data", (batch, 3, 32, 32)),),
+              layers=tuple(layers))
+    g.validate()
+    return g
+
+
+def build_cifar_plain(n: int = 3, batch: int = 128, num_classes: int = 10,
+                      widths=(16, 32, 64), name: str | None = None) -> Graph:
+    """The plain (no-shortcut) counterpart (reference `plain` generator,
+    lib/builder.py:983-1022)."""
+    layers: list[Layer] = []
+    _conv_bn(layers, "conv1", "data", widths[0], kernel=3, stride=1, pad=1,
+             bn_prefix="_conv1", relu=True)
+    prev = "conv1"
+    idx = 1
+    for si, width in enumerate(widths):
+        for bi in range(2 * n):
+            idx += 1
+            conv = f"conv{idx}"
+            stride = 2 if (si > 0 and bi == 0) else 1
+            _conv_bn(layers, conv, prev, width, kernel=3, stride=stride,
+                     pad=1, bn_prefix=f"_{conv}", relu=True)
+            prev = conv
+    layers.append(Layer.make("global_pool", LT.POOL, [prev], pool="ave",
+                             global_pooling=True))
+    layers.append(Layer.make("fc", LT.FC, ["global_pool"],
+                             num_output=num_classes, bias=True))
+    layers.append(Layer.make("prob", LT.SOFTMAX, ["fc"]))
+    g = Graph(name=name or f"cifar_plain{6 * n + 2}",
+              inputs=(TensorSpec("data", (batch, 3, 32, 32)),),
+              layers=tuple(layers))
+    g.validate()
+    return g

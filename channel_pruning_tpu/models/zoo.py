@@ -35,6 +35,52 @@ MODEL_REGISTRY: dict[str, dict] = {
 }
 
 
+def _register_extra():
+    from channel_pruning_tpu.models import faster_rcnn, xception
+
+    MODEL_REGISTRY.update({
+        "xception": {
+            "build": xception.build_xception,
+            "flops": None,
+            "accname": "accuracy@5",
+            "family": "xception",
+        },
+        "tiny_xception": {
+            "build": lambda **kw: xception.build_tiny_xception(**kw)[0],
+            "flops": None,
+            "accname": "accuracy@1",
+            "family": "xception",
+        },
+        "frcnn_vgg16": {
+            "build": faster_rcnn.build_frcnn_backbone,
+            "flops": None,
+            "accname": None,
+            "family": "frcnn",
+        },
+        "tiny_frcnn": {
+            "build": lambda **kw: faster_rcnn.build_tiny_frcnn(**kw)[0],
+            "flops": None,
+            "accname": None,
+            "family": "frcnn",
+        },
+        "cifar_resnet20": {
+            "build": lambda **kw: resnet.build_cifar_resnet(n=3, **kw),
+            "flops": None,
+            "accname": "accuracy@1",
+            "family": "resnet",
+        },
+        "cifar_plain20": {
+            "build": lambda **kw: resnet.build_cifar_plain(n=3, **kw),
+            "flops": None,
+            "accname": "accuracy@1",
+            "family": "plain",
+        },
+    })
+
+
+_register_extra()
+
+
 def get_model(name: str, **kwargs) -> Graph:
     if name not in MODEL_REGISTRY:
         raise KeyError(f"unknown model {name!r}; have {sorted(MODEL_REGISTRY)}")

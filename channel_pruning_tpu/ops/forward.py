@@ -58,13 +58,17 @@ def _pool(x: jax.Array, l: Layer) -> jax.Array:
     def ceil_div(a: int, b: int) -> int:
         return -(-a // b)
 
-    oh = ceil_div(h + 2 * p - k, s) + 1
-    ow = ceil_div(w + 2 * p - k, s) + 1
-    if p > 0:
-        if (oh - 1) * s >= h + p:
-            oh -= 1
-        if (ow - 1) * s >= w + p:
-            ow -= 1
+    if l.attr("ceil_mode", True):   # Caffe pooling_layer default
+        oh = ceil_div(h + 2 * p - k, s) + 1
+        ow = ceil_div(w + 2 * p - k, s) + 1
+        if p > 0:
+            if (oh - 1) * s >= h + p:
+                oh -= 1
+            if (ow - 1) * s >= w + p:
+                ow -= 1
+    else:                            # torch-style floor mode (Xception)
+        oh = (h + 2 * p - k) // s + 1
+        ow = (w + 2 * p - k) // s + 1
     # right/bottom padding to realise ceil mode with a fixed window walk
     pad_h = (p, max(0, (oh - 1) * s + k - h - p))
     pad_w = (p, max(0, (ow - 1) * s + k - w - p))
@@ -166,7 +170,8 @@ def compute_layer(l: Layer, env: dict[str, jax.Array], params: Params,
         if idxs is None or l.attr("passthrough", False):
             env[top] = x  # pure fan-out alias (Caffe Split)
         else:
-            env[top] = x[..., jnp.array(idxs)]  # static gather: free at compile time
+            # static gather: free at compile time
+            env[top] = x[..., jnp.asarray(idxs, jnp.int32)]
     elif t in (LT.SOFTMAX_LOSS, LT.ACCURACY):
         pass  # loss/metric heads handled by the training/eval harness
     else:

@@ -31,11 +31,16 @@ def _sym(a: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("ridge", "jitter"))
 def factor(X: jax.Array, ridge: float = 0.0, jitter: float = 1e-6) -> LinearFactors:
-    """Factor the centered Gram matrix of X (N, d)."""
+    """Factor the centered Gram matrix of X (N, d).
+
+    Jitter scales with trace(G) (an upper bound on the largest eigenvalue)
+    so rank-deficient designs (N < d, collinear channels) stay Cholesky-
+    factorisable in f32 — mean-eigenvalue scaling underflows there.
+    """
     x_mean = jnp.mean(X, axis=0)
     Xc = X - x_mean
     G = _sym(Xc.T @ Xc)
-    scale = jnp.maximum(jnp.trace(G) / G.shape[0], 1e-30)
+    scale = jnp.maximum(jnp.trace(G), 1e-30)
     G = G + (ridge + jitter * scale) * jnp.eye(G.shape[0], dtype=G.dtype)
     chol = jax.scipy.linalg.cholesky(G, lower=True)
     return LinearFactors(chol=chol, x_mean=x_mean, n=X.shape[0])
@@ -62,7 +67,7 @@ def fit_linear(X: jax.Array, Y: jax.Array, ridge: float = 0.0,
     """One-shot least squares: W, b = argmin ||X W.T + b - Y||^2 (+ ridge)."""
     if not fit_intercept:
         G = _sym(X.T @ X)
-        scale = jnp.maximum(jnp.trace(G) / G.shape[0], 1e-30)
+        scale = jnp.maximum(jnp.trace(G), 1e-30)
         G = G + (ridge + 1e-6 * scale) * jnp.eye(G.shape[0], dtype=G.dtype)
         C = X.T @ Y
         W = jax.scipy.linalg.cho_solve(

@@ -72,7 +72,7 @@ def sharded_lstsq(X, Y, mesh: jax.sharding.Mesh, ridge: float = 0.0,
     Gc = XtX - n * jnp.outer(xm, xm)
     Cc = XtY - n * jnp.outer(xm, ym)
     Gc = 0.5 * (Gc + Gc.T)
-    tr = jnp.maximum(jnp.trace(Gc) / Gc.shape[0], 1e-30)
+    tr = jnp.maximum(jnp.trace(Gc), 1e-30)
     Gc = Gc + (ridge + jitter * tr) * jnp.eye(Gc.shape[0], dtype=Gc.dtype)
     chol = jax.scipy.linalg.cholesky(Gc, lower=True)
     W = jax.scipy.linalg.cho_solve((chol, True), Cc).T

@@ -89,6 +89,12 @@ def select_and_reconstruct(X: np.ndarray, W2: np.ndarray, Y: np.ndarray,
             X, W2, Y, rank, alpha0=alpha0, rank_tol=rank_tol,
             subsample=subsample, seed=seed, grid_size=grid_size,
             max_rounds=max_rounds, n_sweeps=n_sweeps)
+        if keep.sum() == 0:
+            # degenerate layer (LASSO kills everything at every probed
+            # alpha): fall back to magnitude selection so the graph stays
+            # well-formed (reference pruning_kernel, net.py:1632-1639)
+            keep = magnitude_select(W2, rank)
+            alpha = float("nan")
 
     # least-squares reconstruction on surviving channels, FULL sample set
     # (decompose.py:622-623 -> fc_kernel)
