@@ -204,3 +204,132 @@ def select_channels(X: np.ndarray, W2: np.ndarray, Y: np.ndarray, rank: int,
     return search_alpha(gram, rank, rank_tol, alpha0=alpha0,
                         grid_size=grid_size, max_rounds=max_rounds,
                         n_sweeps=n_sweeps)
+
+
+# ---------------------------------------------------------------------------
+# group (multitask) LASSO — the reference's MultiTaskLasso branch for 1x1/FC
+# consumers (lib/decompose.py:439-444,596-607): row-sparse B in
+#   min 1/(2N) ||Y - X B||_F^2 + alpha * sum_c ||B_c||_2
+# solved by block coordinate descent on the Gram system, vmapped over alphas.
+# ---------------------------------------------------------------------------
+
+class GroupGram(NamedTuple):
+    G: jax.Array       # (c, c)  XᵀX
+    C: jax.Array       # (c, n)  XᵀY
+    n_samples: int
+
+
+@jax.jit
+def group_gram(X: jax.Array, Y: jax.Array) -> GroupGram:
+    G = X.T @ X
+    return GroupGram(G=0.5 * (G + G.T), C=X.T @ Y, n_samples=X.shape[0])
+
+
+@functools.partial(jax.jit, static_argnames=("n_sweeps",))
+def group_cd_solve(G: jax.Array, C: jax.Array, alpha_n: jax.Array,
+                   n_sweeps: int = 200, tol: float = 1e-8) -> jax.Array:
+    """Block CD: row j update  B_j = soft_group(R_j) / G_jj  with
+    R_j = C_j - (G B)_j + G_jj B_j and group soft-threshold
+    soft_group(r) = max(0, 1 - alpha_n/||r||) r."""
+    c, n = C.shape
+    diag = jnp.diagonal(G)
+    safe_diag = jnp.where(diag > 0, diag, 1.0)
+
+    def row(j, carry):
+        B, Q, max_delta = carry                     # Q = G @ B
+        Rj = C[j] - Q[j] + diag[j] * B[j]           # (n,)
+        norm = jnp.sqrt(jnp.sum(Rj * Rj) + 1e-30)
+        scale = jnp.maximum(0.0, 1.0 - alpha_n / norm) / safe_diag[j]
+        Bj = jnp.where(diag[j] > 0, scale * Rj, 0.0)
+        delta = Bj - B[j]
+        Q = Q + jnp.outer(G[:, j], delta)
+        B = B.at[j].set(Bj)
+        return B, Q, jnp.maximum(max_delta, jnp.max(jnp.abs(delta)))
+
+    def sweep(state):
+        B, Q, _, it = state
+        B, Q, max_delta = jax.lax.fori_loop(0, c, row, (B, Q, 0.0))
+        return B, Q, max_delta, it + 1
+
+    def cont(state):
+        B, _, max_delta, it = state
+        scale = jnp.maximum(jnp.max(jnp.abs(B)), 1e-12)
+        return jnp.logical_and(it < n_sweeps,
+                               jnp.logical_or(it == 0, max_delta > tol * scale))
+
+    B0 = jnp.zeros((c, n), G.dtype)
+    B, _, _, _ = jax.lax.while_loop(cont, sweep,
+                                    (B0, jnp.zeros((c, n), G.dtype),
+                                     jnp.float32(jnp.inf), 0))
+    return B
+
+
+@functools.partial(jax.jit, static_argnames=("n_sweeps",))
+def group_cd_solve_grid(G: jax.Array, C: jax.Array, alphas_n: jax.Array,
+                        n_sweeps: int = 200) -> jax.Array:
+    return jax.vmap(lambda a: group_cd_solve(G, C, a, n_sweeps))(alphas_n)
+
+
+def group_row_norms(Bs: jax.Array) -> jax.Array:
+    return jnp.sqrt(jnp.sum(Bs * Bs, axis=-1))
+
+
+def search_alpha_group(gram: GroupGram, rank: int, rank_tol: float,
+                       alpha0: float = 1e-3, grid_size: int = 16,
+                       max_rounds: int = 8, n_sweeps: int = 200,
+                       ) -> tuple[np.ndarray, float, int]:
+    """Group-lasso variant of `search_alpha`: same support-band termination
+    (decompose.py:487-525), supports counted on row norms."""
+    c = int(gram.G.shape[0])
+    if rank >= c:
+        return np.ones(c, bool), 0.0, c
+    lbound = rank
+    rbound = rank + (rank_tol if rank_tol >= 1 else rank_tol * rank)
+    N = gram.n_samples
+    alphas = alpha0 * (2.0 ** np.arange(-2, grid_size - 2, dtype=np.float64))
+    lo, hi = 0.0, None
+    norms = None
+    for _ in range(max_rounds):
+        a = jnp.asarray(alphas * N, dtype=gram.G.dtype)
+        Bs = group_cd_solve_grid(gram.G, gram.C, a, n_sweeps=n_sweeps)
+        norms = np.asarray(group_row_norms(Bs))            # (A, c)
+        scale = np.maximum(norms.max(axis=1, keepdims=True), 1e-30)
+        masks = norms > 1e-6 * scale
+        supports = masks.sum(axis=1)
+        in_band = np.where((supports >= lbound) & (supports <= rbound))[0]
+        if in_band.size:
+            best = in_band[np.argmin(supports[in_band])]
+            return masks[best], float(alphas[best]), int(supports[best])
+        over = np.where(supports > rbound)[0]
+        under = np.where(supports < lbound)[0]
+        if over.size:
+            lo = float(alphas[over[supports[over].argmin()]])
+        if under.size:
+            hi = float(alphas[under[supports[under].argmax()]])
+        if hi is None:
+            alphas = alphas * (2.0 ** grid_size)
+            continue
+        if not over.size:
+            lo = hi / (2.0 ** grid_size)
+        alphas = np.linspace(lo, hi, grid_size + 2, dtype=np.float64)[1:-1]
+    dist = np.minimum(np.abs(supports - lbound), np.abs(supports - rbound))
+    best = int(np.argmin(dist))
+    return masks[best], float(alphas[best]), int(supports[best])
+
+
+def select_channels_group(X: np.ndarray, Y: np.ndarray, rank: int, *,
+                          alpha0: float = 1e-3, rank_tol: float = 0.1,
+                          subsample: int = 400, seed: int = 0,
+                          grid_size: int = 16, max_rounds: int = 8,
+                          n_sweeps: int = 200) -> tuple[np.ndarray, float, int]:
+    """Group-lasso channel selection for 1x1/FC consumers: X (N, c[,1,1]),
+    Y (N, n). Row subsampling as in decompose.py:425."""
+    X = np.asarray(X, np.float32).reshape(X.shape[0], -1)
+    N = X.shape[0]
+    n_sub = min(subsample, max(N // 20, 1))
+    rng = np.random.default_rng(seed)
+    rows = rng.integers(0, N, size=n_sub)
+    gram = group_gram(jnp.asarray(X[rows]), jnp.asarray(Y[rows], jnp.float32))
+    return search_alpha_group(gram, rank, rank_tol, alpha0=alpha0,
+                              grid_size=grid_size, max_rounds=max_rounds,
+                              n_sweeps=n_sweeps)

@@ -66,12 +66,18 @@ def select_and_reconstruct(X: np.ndarray, W2: np.ndarray, Y: np.ndarray,
                            alpha0: float = 1e-3, subsample: int = 400,
                            n_sweeps: int = 200, grid_size: int = 16,
                            max_rounds: int = 8, ridge: float = 0.0,
-                           seed: int = 0) -> PruneResult:
+                           seed: int = 0, group: bool = False,
+                           alter_iters: int = 0) -> PruneResult:
     """One layer's LASSO selection + lstsq reconstruction.
 
     X: (N, c, kh, kw) consumer input patches (current net),
     W2: (n, c, kh, kw) consumer weights, Y: (N, n) ground-truth responses
     (bias already subtracted — net.py:1707).
+
+    `group=True` selects with the row-sparse group lasso instead of the
+    summed-response single-task form (the reference's MultiTaskLasso branch
+    for 1x1/FC consumers, decompose.py:439-444). `alter_iters` runs the
+    alternating LASSO <-> least-squares refinement (decompose.py:526-580).
     """
     N, c = X.shape[0], X.shape[1]
     rank = int(min(max(rank, 1), c))
@@ -85,16 +91,31 @@ def select_and_reconstruct(X: np.ndarray, W2: np.ndarray, Y: np.ndarray,
         keep = np.ones(c, bool)
         alpha = 0.0
     else:
-        keep, alpha, _ = lasso.select_channels(
-            X, W2, Y, rank, alpha0=alpha0, rank_tol=rank_tol,
-            subsample=subsample, seed=seed, grid_size=grid_size,
-            max_rounds=max_rounds, n_sweeps=n_sweeps)
+        if group and X.shape[2] * X.shape[3] == 1:
+            # row-sparse group lasso directly on the (N, c) design — only
+            # meaningful for 1x1/FC consumers (the reference's MultiTaskLasso
+            # branch is likewise gated on afterconv/FC, decompose.py:439-444)
+            keep, alpha, _ = lasso.select_channels_group(
+                X.reshape(N, -1), Y, rank, alpha0=alpha0,
+                rank_tol=rank_tol, subsample=subsample, seed=seed,
+                grid_size=grid_size, max_rounds=max_rounds, n_sweeps=n_sweeps)
+        else:
+            keep, alpha, _ = lasso.select_channels(
+                X, W2, Y, rank, alpha0=alpha0, rank_tol=rank_tol,
+                subsample=subsample, seed=seed, grid_size=grid_size,
+                max_rounds=max_rounds, n_sweeps=n_sweeps)
         if keep.sum() == 0:
             # degenerate layer (LASSO kills everything at every probed
             # alpha): fall back to magnitude selection so the graph stays
             # well-formed (reference pruning_kernel, net.py:1632-1639)
             keep = magnitude_select(W2, rank)
             alpha = float("nan")
+        if alter_iters and np.isfinite(alpha):
+            refined = _alternate_refine(X, W2, Y, keep, alpha, alter_iters,
+                                        subsample=subsample, seed=seed,
+                                        n_sweeps=n_sweeps)
+            if refined is not None and refined.sum() > 0:
+                keep = refined
 
     # least-squares reconstruction on surviving channels, FULL sample set
     # (decompose.py:622-623 -> fc_kernel)
@@ -159,3 +180,40 @@ def _sole_consumer_chain(graph: Graph, prod: str, consumer: str) -> bool:
             else:
                 return False
     return True
+
+
+def _alternate_refine(X, W2, Y, keep, alpha, iters, *, subsample=400, seed=0,
+                      n_sweeps=200):
+    """Alternating LASSO <-> least-squares refinement of the selection at a
+    fixed alpha (reference dic.alter loop + updateW2,
+    decompose.py:468-485,526-580): refit the consumer on the current
+    support, rebuild the per-channel responses with the refit weights, and
+    re-select. Returns the refined mask (or None to keep the original)."""
+    import jax.numpy as jnp
+
+    from channel_pruning_tpu.ops import lstsq
+
+    N, c = X.shape[0], X.shape[1]
+    kh, kw = X.shape[2], X.shape[3]
+    n = W2.shape[0]
+    rng = np.random.default_rng(seed)
+    rows = rng.integers(0, N, size=min(subsample, max(N // 20, 1)))
+    Xs = jnp.asarray(X[rows], jnp.float32)
+    Ys = jnp.asarray(Y[rows], jnp.float32)
+    cur = np.asarray(keep, bool)
+    for _ in range(iters):
+        if cur.sum() == 0:
+            return None
+        Wk, bk = lstsq.fit_linear(Xs[:, cur].reshape(len(rows), -1), Ys)
+        W2p = np.zeros_like(W2)
+        W2p[:, cur] = np.asarray(Wk).reshape(n, int(cur.sum()), kh, kw)
+        Z = lasso.build_channel_response(Xs, jnp.asarray(W2p))
+        gram = lasso.lasso_gram(Z, Ys.reshape(-1))
+        beta = lasso.cd_solve(gram.G, gram.b,
+                              jnp.asarray(alpha * gram.n_samples),
+                              jnp.zeros(c, jnp.float32), n_sweeps=n_sweeps)
+        new = np.asarray(lasso.support_mask(beta))
+        if new.sum() == 0:
+            return cur
+        cur = new
+    return cur

@@ -120,3 +120,22 @@ def test_ranks_for_speed():
     assert r4 == {"conv2_1": 37, "conv5_1": 398}
     r2 = c3.ranks_for_speed(base, 2.0)
     assert r2["conv2_1"] == 74 and r2["conv5_1"] == 398  # conv5 exempt
+
+
+def test_alter_refinement_runs(setup):
+    """dic.alter-style alternating refinement returns a valid selection of
+    comparable quality (reference decompose.py:526-580)."""
+    from channel_pruning_tpu.pipeline import prune as P
+    from channel_pruning_tpu.sampling import sample_patches
+
+    g, params, inputs, cfg, cache = setup
+    conv = "conv2_2"
+    top = g.layer(conv).tops[0]
+    X = sample_patches(g, to_device_params(params), inputs, conv, cache.plan,
+                       chunk_batches=4)
+    Y = cache.feats[top] - params[conv]["b"]
+    base = P.select_and_reconstruct(X, params[conv]["W"], Y, 8, seed=0)
+    alt = P.select_and_reconstruct(X, params[conv]["W"], Y, 8, seed=0,
+                                   alter_iters=2)
+    assert alt.keep.sum() > 0
+    assert alt.rmse_after <= base.rmse_after * 1.25

@@ -237,3 +237,38 @@ def test_pallas_cd_kernel_interpret_parity(rng):
     np.testing.assert_array_equal(
         np.asarray(lasso.support_sizes(b_p)),
         np.asarray(lasso.support_sizes(b_x)))
+
+
+def test_group_lasso_matches_sklearn_multitask(rng):
+    from sklearn.linear_model import MultiTaskLasso
+
+    N, c, n = 300, 20, 6
+    X = rng.normal(size=(N, c)).astype(np.float32)
+    B = np.zeros((c, n), np.float32)
+    rows = rng.choice(c, 7, replace=False)
+    B[rows] = rng.normal(1, 1, (7, n)).astype(np.float32)
+    Y = (X @ B + 0.01 * rng.normal(size=(N, n))).astype(np.float32)
+    alpha = 0.05
+    gram = lasso.group_gram(X, Y)
+    # sklearn objective: 1/(2N)||..||_F^2 + alpha * sum ||row||_2
+    # our Gram-units threshold: alpha * N
+    Bd = np.asarray(lasso.group_cd_solve(gram.G, gram.C,
+                                         alpha * N, n_sweeps=2000))
+    sk = MultiTaskLasso(alpha=alpha, tol=1e-10, max_iter=5000).fit(X, Y)
+    np.testing.assert_allclose(Bd, sk.coef_.T, rtol=5e-3, atol=1e-3)
+    got = np.asarray(lasso.group_row_norms(Bd)) > 1e-8
+    want = np.linalg.norm(sk.coef_.T, axis=1) > 1e-8
+    np.testing.assert_array_equal(got, want)
+
+
+def test_group_search_alpha_band(rng):
+    N, c, n = 400, 32, 8
+    X = rng.normal(size=(N, c)).astype(np.float32)
+    B = np.zeros((c, n), np.float32)
+    rows = rng.choice(c, 16, replace=False)
+    B[rows] = rng.normal(1, 1, (16, n)).astype(np.float32)
+    Y = (X @ B + 0.01 * rng.normal(size=(N, n))).astype(np.float32)
+    gram = lasso.group_gram(X, Y)
+    mask, alpha, support = lasso.search_alpha_group(gram, 10, 0.1)
+    assert 10 <= support <= 10 + 2
+    assert mask.sum() == support
