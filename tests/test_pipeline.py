@@ -137,5 +137,5 @@ def test_alter_refinement_runs(setup):
     base = P.select_and_reconstruct(X, params[conv]["W"], Y, 8, seed=0)
     alt = P.select_and_reconstruct(X, params[conv]["W"], Y, 8, seed=0,
                                    alter_iters=2)
-    assert alt.keep.sum() > 0
-    assert alt.rmse_after <= base.rmse_after * 1.25
+    assert alt.keep.sum() >= 4   # refinement must not collapse the support
+    assert alt.rmse_after <= base.rmse_after * 1.5
