@@ -111,7 +111,8 @@ def select_and_reconstruct(X: np.ndarray, W2: np.ndarray, Y: np.ndarray,
             keep = magnitude_select(W2, rank)
             alpha = float("nan")
         if alter_iters and np.isfinite(alpha):
-            refined = _alternate_refine(X, W2, Y, keep, alpha, alter_iters,
+            refined = _alternate_refine(X, W2, Y, keep, rank, rank_tol,
+                                        alpha, alter_iters,
                                         subsample=subsample, seed=seed,
                                         n_sweeps=n_sweeps)
             if refined is not None and refined.sum() > 0:
@@ -182,13 +183,14 @@ def _sole_consumer_chain(graph: Graph, prod: str, consumer: str) -> bool:
     return True
 
 
-def _alternate_refine(X, W2, Y, keep, alpha, iters, *, subsample=400, seed=0,
-                      n_sweeps=200):
-    """Alternating LASSO <-> least-squares refinement of the selection at a
-    fixed alpha (reference dic.alter loop + updateW2,
-    decompose.py:468-485,526-580): refit the consumer on the current
-    support, rebuild the per-channel responses with the refit weights, and
-    re-select. Returns the refined mask (or None to keep the original)."""
+def _alternate_refine(X, W2, Y, keep, rank, rank_tol, alpha0, iters, *,
+                      subsample=400, seed=0, n_sweeps=200):
+    """Alternating LASSO <-> least-squares refinement of the selection
+    (reference dic.alter loop + updateW2, decompose.py:468-485,526-580):
+    refit the consumer on the current support, rebuild the per-channel
+    responses with the refit weights, and re-select with the SAME
+    support-size target (the reference re-enters its bisection with the
+    updated Z each pass). Returns the refined mask (or None)."""
     import jax.numpy as jnp
 
     from channel_pruning_tpu.ops import lstsq
@@ -204,16 +206,15 @@ def _alternate_refine(X, W2, Y, keep, alpha, iters, *, subsample=400, seed=0,
     for _ in range(iters):
         if cur.sum() == 0:
             return None
-        Wk, bk = lstsq.fit_linear(Xs[:, cur].reshape(len(rows), -1), Ys)
+        Wk, _ = lstsq.fit_linear(Xs[:, cur].reshape(len(rows), -1), Ys)
         W2p = np.zeros_like(W2)
         W2p[:, cur] = np.asarray(Wk).reshape(n, int(cur.sum()), kh, kw)
         Z = lasso.build_channel_response(Xs, jnp.asarray(W2p))
         gram = lasso.lasso_gram(Z, Ys.reshape(-1))
-        beta = lasso.cd_solve(gram.G, gram.b,
-                              jnp.asarray(alpha * gram.n_samples),
-                              jnp.zeros(c, jnp.float32), n_sweeps=n_sweeps)
-        new = np.asarray(lasso.support_mask(beta))
+        new, alpha0, _ = lasso.search_alpha(gram, rank, rank_tol,
+                                            alpha0=max(alpha0, 1e-6),
+                                            n_sweeps=n_sweeps)
         if new.sum() == 0:
             return cur
-        cur = new
+        cur = np.asarray(new, bool)
     return cur
