@@ -197,9 +197,10 @@ def cmd_flop(args):
     from channel_pruning_tpu.models import zoo
     from channel_pruning_tpu.utils import flops
 
-    graph, _ = _load_model(args)
+    graph, params = _load_model(args)
     total = flops.total_flops(graph, include_fc=False, verbose=True)
     print(f"[flop] conv mults: {total:,}")
+    print(f"[param] parameters: {flops.total_params(graph, params):,}")
     denom = None
     if args.model in zoo.MODEL_REGISTRY:
         denom = zoo.MODEL_REGISTRY[args.model].get("flops")

@@ -365,3 +365,34 @@ def export_model(graph: Graph, params: Mapping, prototxt_path: str | Path,
     Path(prototxt_path).write_text(export_prototxt(graph))
     if caffemodel_path is not None:
         save_weights(graph, params, caffemodel_path)
+
+
+# ---------------------------------------------------------------------------
+# solver export (parity with the reference's programmatic SolverParameter
+# writer, lib/builder.py:15-117, and the shipped temp/solver.prototxt)
+# ---------------------------------------------------------------------------
+
+def export_solver(cfg, net_prototxt: str, snapshot_prefix: str = "snapshots/ft",
+                  test_iter: int = 5000, test_interval: int = 10000,
+                  display: int = 100) -> str:
+    """Render a FinetuneConfig as a Caffe solver.prototxt so a stock-Caffe
+    user can reproduce the finetune externally (temp/solver.prototxt:1-18)."""
+    msg: pt.Msg = {
+        "net": net_prototxt,
+        "test_iter": test_iter,
+        "test_interval": test_interval,
+        "base_lr": cfg.base_lr,
+        "lr_policy": cfg.lr_policy,
+        "gamma": cfg.gamma,
+        "stepsize": cfg.stepsize,
+        "display": display,
+        "max_iter": cfg.max_iter,
+        "momentum": cfg.momentum,
+        "weight_decay": cfg.weight_decay,
+        "snapshot": cfg.snapshot_every,
+        "snapshot_prefix": snapshot_prefix,
+        "solver_mode": "GPU",
+    }
+    if cfg.nesterov:
+        msg["type"] = "Nesterov"
+    return pt.dump(msg) + "\n"

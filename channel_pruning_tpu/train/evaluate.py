@@ -58,3 +58,20 @@ def evaluate(graph: Graph, params: Mapping, batches: Iterable, *,
             print(f"[eval] {i+1} batches: top1 {t1/n:.4f} top5 {t5/n:.4f}")
     return {"accuracy@1": t1 / max(n, 1), "accuracy@5": t5 / max(n, 1),
             "n_images": n}
+
+
+def evaluate_cache(graph: Graph, params, cache, *, max_batches=None,
+                   mesh: jax.sharding.Mesh | None = None) -> dict[str, float]:
+    """Accuracy over the frozen calibration batches — the reference's
+    `accuracy(times)` replay harness over memory_preload batches
+    (lib/net.py:929-946). Requires the cache to carry labels."""
+    if cache.labels is None:
+        raise ValueError("frozen cache has no labels (synthetic calibration)")
+
+    def batches():
+        n = cache.n_batches if max_batches is None else min(max_batches,
+                                                            cache.n_batches)
+        for i in range(n):
+            yield cache.inputs[i], cache.labels[i]
+
+    return evaluate(graph, params, batches(), mesh=mesh)

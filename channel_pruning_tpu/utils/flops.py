@@ -54,3 +54,34 @@ def speedup(graph: Graph, original_flops: int, include_fc: bool = False) -> floa
     tools.py:36-46)."""
     cur = total_flops(graph, include_fc=include_fc)
     return original_flops / cur if cur else float("inf")
+
+
+def total_params(graph: Graph, params=None, verbose: bool = False) -> int:
+    """Parameter count (the reference's `tools.py param` action,
+    tools.py:53-61). With a params pytree, counts actual array sizes;
+    otherwise derives from static shapes."""
+    total = 0
+    shapes = shapes_of(graph, batch=1)
+    for l in graph.layers:
+        n = 0
+        if params is not None and l.name in params:
+            for v in params[l.name].values():
+                size = 1
+                for d in getattr(v, "shape", ()):
+                    size *= d
+                n += size
+        elif l.type == LT.CONV:
+            geo = l.conv_geometry()
+            c_in = shapes[l.bottoms[0]][1] // geo["group"]
+            n = int(l.attr("num_output")) * c_in * geo["kh"] * geo["kw"]
+            if l.attr("bias", True):
+                n += int(l.attr("num_output"))
+        elif l.type == LT.FC:
+            fan_in = 1
+            for d in shapes[l.bottoms[0]][1:]:
+                fan_in *= d
+            n = int(l.attr("num_output")) * (fan_in + 1)
+        if n and verbose:
+            print(f"  {l.name:>20s}: {n:>12,d}")
+        total += n
+    return total

@@ -109,3 +109,22 @@ def test_finetune_loop_with_snapshot(tmp_path):
     np.testing.assert_allclose(
         np.asarray(restored["params"]["conv1_1"]["W"]),
         np.asarray(state.params["conv1_1"]["W"]), rtol=1e-6)
+
+
+def test_evaluate_cache_replay():
+    """Accuracy replay over the frozen cache (reference accuracy(times),
+    lib/net.py:929-946)."""
+    from channel_pruning_tpu.sampling import freeze
+    from channel_pruning_tpu.train.evaluate import evaluate_cache
+
+    g, params = build_tiny_vgg(batch=4, image_size=16)
+    rng = np.random.default_rng(5)
+    inputs = rng.normal(0, 1, (3, 4, 3, 16, 16)).astype(np.float32)
+    labels = rng.integers(0, 10, (3, 4)).astype(np.int32)
+    import jax.numpy as jnp
+    cache = freeze(g, {k: {kk: jnp.asarray(v) for kk, v in p.items()}
+                       for k, p in params.items()},
+                   inputs, n_points=2, chunk_batches=3, labels=labels)
+    res = evaluate_cache(g, params, cache)
+    assert res["n_images"] == 12
+    assert 0.0 <= res["accuracy@1"] <= 1.0
