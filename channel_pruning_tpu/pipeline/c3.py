@@ -229,6 +229,61 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             kind = "gate" if gate_only else "prune"
             print(f"[{kind}] {consumer}: keep {int(res.keep.sum())}/{n_in} "
                   f"rMSE {res.rmse_before:.4f}->{res.rmse_after:.4f} ({dt:.2f}s)")
+
+    # ---- FC consumers (dic.fitfc path, lib/cfgs.py:73): prune the last
+    # conv's output channels via the first FC layer's inputs ----------------
+    if cfg.dic.fitfc and channel_targets:
+        for fc in g_run.fcs:
+            bottom = g_run.layer(fc).bottoms[0]
+            producer = prune_mod.producer_conv(g_run, bottom)
+            target = channel_targets.get(producer) if producer else None
+            if target is None:
+                continue
+            timer.tic()
+            dense = sampling.sample_dense(g_run, dev_run, cache.inputs,
+                                          (bottom,), chunk_batches=chunk)[bottom]
+            # FC weight (out, C*H*W) reshaped to channel-major (out, C, H, W)
+            Wfc = np.asarray(p_run[fc]["W"], np.float32)
+            C = dense.shape[1]
+            Wr = Wfc.reshape(Wfc.shape[0], C, *dense.shape[2:])
+            n_in = C
+            if target >= n_in:
+                continue
+            top = g_run.layer(fc).tops[0]
+            bfc = p_run[fc].get("b", np.zeros(Wfc.shape[0], np.float32))
+            Y = cache.feats[top] - bfc
+            res = prune_mod.select_and_reconstruct(
+                dense, Wr, Y, int(target), rank_tol=cfg.dic.rank_tol,
+                alpha0=cfg.solve.alpha, subsample=cfg.lasso.subsample_rows,
+                n_sweeps=cfg.lasso.n_sweeps, grid_size=cfg.lasso.grid_size,
+                max_rounds=cfg.lasso.max_rounds, ridge=cfg.solve.ls_ridge,
+                seed=cfg.sample.seed, group=True)
+            dt = timer.toc()
+            # running graph: zero-scatter back into the flat FC weight
+            Wfull = np.zeros_like(Wr)
+            Wfull[:, res.keep] = res.W
+            p_run[fc]["W"] = Wfull.reshape(Wfc.shape)
+            p_run[fc]["b"] = res.b
+            dev_run = dict(dev_run)
+            dev_run[fc] = {k: jnp.asarray(v) for k, v in p_run[fc].items()}
+            # output graph: shrink the producer conv + slice the FC weight
+            if producer is not None and prune_mod._sole_consumer_chain(
+                    g_out, producer, fc):
+                g_out, p_out = rewrite.prune_conv_outputs(g_out, p_out,
+                                                          producer, res.keep)
+                p_out[fc] = dict(p_out[fc])
+                p_out[fc]["W"] = res.W.reshape(Wfc.shape[0], -1)
+                p_out[fc]["b"] = res.b
+            selections[fc] = res.keep
+            reports.append(LayerReport(
+                conv=fc, kept=int(res.keep.sum()), total=int(n_in),
+                alpha=res.alpha, rmse_before=res.rmse_before,
+                rmse_after=res.rmse_after, seconds=dt))
+            if verbose:
+                print(f"[fitfc] {fc}: keep {int(res.keep.sum())}/{n_in} "
+                      f"rMSE {res.rmse_before:.4f}->{res.rmse_after:.4f}")
+            break  # only the first FC consumes conv channels
+
     return SolveResult(graph=g_out, params=p_out, reports=reports,
                        selections=selections)
 

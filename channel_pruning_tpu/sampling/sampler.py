@@ -254,6 +254,9 @@ def freeze(graph: Graph, params, inputs: np.ndarray, *, tensors: Sequence[str] |
         for e in graph.by_type(LT.ELTWISE):
             names.append(e.tops[0])
             names.extend(e.bottoms)
+        # FC tops are stored densely (one row per image) — cheap, and they
+        # serve as ground truth for the fitfc path (lib/net.py:409-412)
+        names.extend(graph.layer(f).tops[0] for f in graph.fcs)
         seen = set()
         tensors = tuple(t for t in names if not (t in seen or seen.add(t)))
     shapes = shapes_of(graph, batch=inputs.shape[1])
@@ -313,3 +316,38 @@ def channel_stats(graph: Graph, params, inputs: np.ndarray,
         var = np.maximum(ss / n - mean ** 2, 1e-12)
         out[t] = (mean.astype(np.float32), np.sqrt(var).astype(np.float32))
     return out
+
+
+# ---------------------------------------------------------------------------
+# dense capture (FC consumers / fitfc path)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def _dense_chunk_fn(graph: Graph, tensors: tuple[str, ...]):
+    input_name = graph.inputs[0].name
+
+    @jax.jit
+    def fn(params, x):
+        _, caps = run_graph(graph, params, {input_name: x},
+                            capture_transforms={t: (lambda v: v)
+                                                for t in tensors})
+        return caps
+
+    return fn
+
+
+def sample_dense(graph: Graph, params, inputs: np.ndarray,
+                 tensors: Sequence[str], chunk_batches: int = 25
+                 ) -> dict[str, np.ndarray]:
+    """Capture tensors densely, one row per image: {t: (n_images, ...)}.
+    Used for FC consumers (reference stores FC/1x1 tops densely,
+    lib/net.py:409-412 fc branch; dic.fitfc path)."""
+    tensors = tuple(tensors)
+    fn = _dense_chunk_fn(graph, tensors)
+    outs: dict[str, list[np.ndarray]] = {t: [] for t in tensors}
+    for lo, hi in _chunk_iter(inputs, chunk_batches):
+        x = jnp.asarray(inputs[lo:hi].reshape((-1,) + inputs.shape[2:]))
+        res = fn(params, x)
+        for t in tensors:
+            outs[t].append(np.asarray(res[t]))
+    return {t: np.concatenate(v, axis=0) for t, v in outs.items()}

@@ -139,3 +139,24 @@ def test_alter_refinement_runs(setup):
                                    alter_iters=2)
     assert alt.keep.sum() >= 4   # refinement must not collapse the support
     assert alt.rmse_after <= base.rmse_after * 1.5
+
+
+def test_fitfc_prunes_last_conv(setup):
+    """dic.fitfc: the last conv's outputs are pruned through the first FC
+    layer's inputs (reference fitfc knob, lib/cfgs.py:73)."""
+    g, params, inputs, cfg, cache = setup
+    last_conv = g.convs[-1]
+    n_out = params[last_conv]["W"].shape[0]
+    cfg2 = cfg.replace_nested("dic.fitfc", True)
+    targets = {last_conv: max(2, int(n_out * 0.6))}
+    res = c3.solve_prune(g, params, cache, cfg2, channel_targets=targets,
+                         verbose=False)
+    fc = g.fcs[0]
+    assert fc in res.selections
+    keep = res.selections[fc]
+    assert res.params[last_conv]["W"].shape[0] == keep.sum() < n_out
+    # FC weight columns sliced consistently
+    hw = res.params[fc]["W"].shape[1] // int(keep.sum())
+    assert res.params[fc]["W"].shape[1] == keep.sum() * hw
+    p = _final_probs(res.graph, res.params, inputs[0])
+    np.testing.assert_allclose(p.sum(-1), 1.0, rtol=1e-4)
