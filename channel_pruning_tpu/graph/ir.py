@@ -327,7 +327,8 @@ def shapes_of(graph: Graph, params: Mapping[str, Mapping[str, Any]] | None = Non
             env[l.tops[0]] = tuple(shp)
         elif l.type == LT.SELECT:
             shp = list(env[l.bottoms[0]])
-            shp[1] = int(l.attr("num_output"))
+            if l.attr("indices") is not None and not l.attr("passthrough", False):
+                shp[1] = int(l.attr("num_output"))
             env[l.tops[0]] = tuple(shp)
         elif l.type in (LT.SOFTMAX_LOSS, LT.ACCURACY):
             env[l.tops[0]] = ()

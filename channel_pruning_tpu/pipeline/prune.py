@@ -154,8 +154,11 @@ def apply_pruning(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
     prod = producer_conv(g, bottom, before=consumer)
     safe = False
     if shrink_producer and prod is not None:
-        # safe only if every path from the producer reaches solely this consumer
-        safe = _sole_consumer_chain(g, prod, consumer)
+        # safe only if every path from the producer reaches solely this
+        # consumer, and the producer is not a grouped/depthwise conv (whose
+        # output count is tied to its group structure)
+        safe = (g.layer(prod).conv_geometry()["group"] == 1
+                and _sole_consumer_chain(g, prod, consumer))
     if safe:
         g, params = rewrite.prune_conv_outputs(g, params, prod, result.keep)
     else:
