@@ -244,6 +244,25 @@ class Graph:
     def map_layers(self, fn) -> "Graph":
         return replace(self, layers=tuple(fn(l) for l in self.layers))
 
+    def ancestors_subgraph(self, tensors: Iterable[str]) -> "Graph":
+        """The minimal subgraph producing `tensors`: backward reachability
+        from their producers. Extraction replays run this instead of the
+        full net — layers after the captured tensor (for VGG, the 100M-mult
+        FC stack) are never computed."""
+        targets = set(tensors)
+        needed: set[str] = set()
+        # walk layers in reverse topological order collecting ancestors
+        needed_tensors = set(targets)
+        keep: list[Layer] = []
+        for l in reversed(self.layers):
+            if any(t in needed_tensors for t in l.tops) or l.name in needed:
+                keep.append(l)
+                needed_tensors.update(l.bottoms)
+        keep.reverse()
+        g = replace(self, layers=tuple(keep))
+        g.validate()
+        return g
+
     # --- validation -------------------------------------------------------
     def validate(self) -> None:
         """Every bottom must be defined by an earlier layer or a graph input."""

@@ -82,6 +82,7 @@ def _feature_chunk_fn(graph: Graph, tensors: tuple[str, ...], batch_size: int):
     """fn(params, x, ys, xs) -> {t: sampled rows}; x: (G*bs, C, H, W),
     ys/xs: {t: (G, P)}. Compiled once per (graph, tensors, bs)."""
     input_name = graph.inputs[0].name
+    graph = graph.ancestors_subgraph(tensors)   # skip layers past the captures
 
     @jax.jit
     def fn(params, x, ys, xs):
@@ -108,6 +109,7 @@ def _patch_chunk_fn(graph: Graph, bottom: str, batch_size: int,
                     kernel: tuple[int, int], stride: tuple[int, int],
                     pad: tuple[int, int]):
     input_name = graph.inputs[0].name
+    graph = graph.ancestors_subgraph((bottom,))  # replay only up to `bottom`
 
     @jax.jit
     def fn(params, x, ys, xs):
@@ -325,6 +327,7 @@ def channel_stats(graph: Graph, params, inputs: np.ndarray,
 @functools.lru_cache(maxsize=16)
 def _dense_chunk_fn(graph: Graph, tensors: tuple[str, ...]):
     input_name = graph.inputs[0].name
+    graph = graph.ancestors_subgraph(tensors)
 
     @jax.jit
     def fn(params, x):
