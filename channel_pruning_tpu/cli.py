@@ -121,14 +121,19 @@ def cmd_prune(args):
                      for c in graph.convs[1:]}
         res = c3.solve_3c(graph, params, cache, cfg, ranks)
     else:
+        input_targets = None
         if args.channels:
             targets = json.loads(Path(args.channels).read_text())
         elif is_vgg and len(graph.convs) == 13 and abs(args.speed - 5.0) < 1e-6:
             targets = VGG16_5X_CHANNELS
+        elif "resnet50" in graph.name and abs(args.speed - 2.0) < 1e-6:
+            from channel_pruning_tpu.models.resnet import resnet50_2x_targets
+            targets, input_targets = resnet50_2x_targets()
         else:
             targets = c3.prune_targets_from_ratio(graph, args.speed)
         res = c3.solve_prune(graph, params, cache, cfg,
-                             channel_targets=targets)
+                             channel_targets=targets,
+                             input_targets=input_targets)
 
     dt = time.perf_counter() - t0
     print(res.summary())

@@ -163,6 +163,7 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
     reports: list[LayerReport] = []
     selections: dict[str, np.ndarray] = {}
     chunk = max(cfg.sample.device_batch // cache.batch_size, 1)
+    cdt = None if cfg.solve.dtype == "float32" else cfg.solve.dtype
     # device-resident running params, updated INCREMENTALLY per layer —
     # re-uploading the whole pytree each layer would move ~0.5 GB/layer for
     # VGG-16 over the host<->TPU link
@@ -186,7 +187,8 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             continue
         timer.tic()
         X = sampling.sample_patches(g_run, dev_run, cache.inputs, consumer,
-                                    cache.plan, chunk_batches=chunk)
+                                    cache.plan, chunk_batches=chunk,
+                                    compute_dtype=cdt)
         top = g_run.layer(consumer).tops[0]
         b2 = p_run[consumer].get("b", np.zeros(p_run[consumer]["W"].shape[0],
                                                np.float32))
@@ -197,7 +199,8 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             # Y = gt(block) − Σ current(other bottoms) − b
             cur = sampling.sample_features(g_run, dev_run, cache.inputs,
                                            cache.plan, others,
-                                           chunk_batches=chunk)
+                                           chunk_batches=chunk,
+                                           compute_dtype=cdt)
             Y = cache.feats[e_top].astype(np.float64) - b2
             for o in others:
                 Y = Y - cur[o]
@@ -336,6 +339,7 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
 
     convs = list(g_run.convs)
     chunk = max(cfg.sample.device_batch // cache.batch_size, 1)
+    cdt = None if cfg.solve.dtype == "float32" else cfg.solve.dtype
     dev_run = to_device_params(p_run)   # incremental device copy (see solve_prune)
 
     def _sync(name: str) -> None:
@@ -359,7 +363,8 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
 
         # ---- (a) spatial decomposition --------------------------------
         X = sampling.sample_patches(g_run, dev_run, cache.inputs, conv,
-                                    cache.plan, chunk_batches=chunk)
+                                    cache.plan, chunk_batches=chunk,
+                                    compute_dtype=cdt)
         vh = lowrank.vh_decompose(W_cur, rank, X=X, Y=Ygt,
                                   lambdas=cfg.solve.nonlinear_lambdas,
                                   iters=cfg.solve.nonlinear_iters)
@@ -372,7 +377,8 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         timer.tic()
         feat = sampling.sample_features(g_run, dev_run, cache.inputs,
                                         cache.plan, (top,),
-                                        chunk_batches=chunk)[top]
+                                        chunk_batches=chunk,
+                                        compute_dtype=cdt)[top]
         itq = lowrank.itq_decompose(feat, Ygt, np.asarray(vh.H), rank,
                                     bias=np.asarray(vh.b), Wr=np.asarray(vh.VHr),
                                     lambdas=cfg.solve.itq_lambdas,
@@ -410,7 +416,8 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             timer.tic()
             Xn = sampling.sample_patches(g_run, dev_run, cache.inputs,
                                          convnext, cache.plan,
-                                         chunk_batches=chunk)
+                                         chunk_batches=chunk,
+                                         compute_dtype=cdt)
             topn = g_run.layer(convnext).tops[0]
             bn2 = p_run[convnext].get(
                 "b", np.zeros(p_run[convnext]["W"].shape[0], np.float32))

@@ -77,12 +77,19 @@ def make_point_plan(shapes: Mapping[str, tuple[int, ...]], tensors: Sequence[str
 # chunked jitted gather-forward
 # ---------------------------------------------------------------------------
 
+def _dtype_of(name):
+    return {None: None, "float32": None, "bfloat16": jnp.bfloat16,
+            "bf16": jnp.bfloat16}[name]
+
+
 @functools.lru_cache(maxsize=32)
-def _feature_chunk_fn(graph: Graph, tensors: tuple[str, ...], batch_size: int):
+def _feature_chunk_fn(graph: Graph, tensors: tuple[str, ...], batch_size: int,
+                      compute_dtype: str | None = None):
     """fn(params, x, ys, xs) -> {t: sampled rows}; x: (G*bs, C, H, W),
     ys/xs: {t: (G, P)}. Compiled once per (graph, tensors, bs)."""
     input_name = graph.inputs[0].name
     graph = graph.ancestors_subgraph(tensors)   # skip layers past the captures
+    cd = _dtype_of(compute_dtype)
 
     @jax.jit
     def fn(params, x, ys, xs):
@@ -98,7 +105,8 @@ def _feature_chunk_fn(graph: Graph, tensors: tuple[str, ...], batch_size: int):
 
         # gathers run at production time so full feature maps die immediately
         _, caps = run_graph(graph, params, {input_name: x},
-                            capture_transforms={t: make_tf(t) for t in tensors})
+                            capture_transforms={t: make_tf(t) for t in tensors},
+                            compute_dtype=cd)
         return caps
 
     return fn
@@ -107,9 +115,10 @@ def _feature_chunk_fn(graph: Graph, tensors: tuple[str, ...], batch_size: int):
 @functools.lru_cache(maxsize=64)
 def _patch_chunk_fn(graph: Graph, bottom: str, batch_size: int,
                     kernel: tuple[int, int], stride: tuple[int, int],
-                    pad: tuple[int, int]):
+                    pad: tuple[int, int], compute_dtype: str | None = None):
     input_name = graph.inputs[0].name
     graph = graph.ancestors_subgraph((bottom,))  # replay only up to `bottom`
+    cd = _dtype_of(compute_dtype)
 
     @jax.jit
     def fn(params, x, ys, xs):
@@ -123,7 +132,8 @@ def _patch_chunk_fn(graph: Graph, bottom: str, batch_size: int,
             return patches.reshape((-1,) + patches.shape[2:])
 
         _, caps = run_graph(graph, params, {input_name: x},
-                            capture_transforms={bottom: tf})
+                            capture_transforms={bottom: tf},
+                            compute_dtype=cd)
         return caps[bottom]
 
     return fn
@@ -141,12 +151,15 @@ def _chunk_iter(inputs: np.ndarray, chunk_batches: int):
 def sample_features(graph: Graph, params, inputs: np.ndarray,
                     plan: Mapping[str, tuple[np.ndarray, np.ndarray]],
                     tensors: Sequence[str], chunk_batches: int = 25,
-                    ) -> dict[str, np.ndarray]:
+                    compute_dtype: str | None = None) -> dict[str, np.ndarray]:
     """Ground-truth response sampling: {tensor: (n_batches*P*bs, C)} (dense
-    (n_images, D) for non-spatial tensors). inputs: (n_batches, bs, C, H, W)."""
+    (n_images, D) for non-spatial tensors). inputs: (n_batches, bs, C, H, W).
+    `compute_dtype="bfloat16"` runs conv math on the MXU in bf16 with f32
+    accumulation (~2x throughput; replay-only — freeze ground truth should
+    stay f32)."""
     tensors = tuple(tensors)
     bs = inputs.shape[1]
-    fn = _feature_chunk_fn(graph, tensors, bs)
+    fn = _feature_chunk_fn(graph, tensors, bs, compute_dtype)
     outs: dict[str, list[np.ndarray]] = {t: [] for t in tensors}
     for lo, hi in _chunk_iter(inputs, chunk_batches):
         x = jnp.asarray(inputs[lo:hi].reshape((-1,) + inputs.shape[2:]))
@@ -160,7 +173,8 @@ def sample_features(graph: Graph, params, inputs: np.ndarray,
 
 def sample_patches(graph: Graph, params, inputs: np.ndarray, conv: str,
                    plan: Mapping[str, tuple[np.ndarray, np.ndarray]],
-                   chunk_batches: int = 25) -> np.ndarray:
+                   chunk_batches: int = 25,
+                   compute_dtype: str | None = None) -> np.ndarray:
     """Replay the *current* graph and gather the (N, c, kh, kw) input patches
     of `conv` at its planned output points (extract_XY, lib/net.py:534-684).
     The plan is keyed by conv top tensor name."""
@@ -170,7 +184,8 @@ def sample_patches(graph: Graph, params, inputs: np.ndarray, conv: str,
     top = l.tops[0]
     bs = inputs.shape[1]
     fn = _patch_chunk_fn(graph, bottom, bs, (geo["kh"], geo["kw"]),
-                         (geo["sh"], geo["sw"]), (geo["ph"], geo["pw"]))
+                         (geo["sh"], geo["sw"]), (geo["ph"], geo["pw"]),
+                         compute_dtype)
     ys_all, xs_all = plan[top]
     outs = []
     for lo, hi in _chunk_iter(inputs, chunk_batches):

@@ -66,3 +66,43 @@ def test_validate_rejects_dangling():
 def test_outputs():
     g = build_tiny_vgg()[0]
     assert g.outputs() == ("prob",)
+
+
+def test_add_bn_preserves_function():
+    """BN restoration (reference add_bn, net.py:1001-1047): inserting
+    measured-stats BN + (std, mean) Scale after each conv must leave the
+    net's function unchanged."""
+    import numpy as np
+
+    from channel_pruning_tpu.graph.rewrite import add_bn_after_convs, split_relu
+    from channel_pruning_tpu.models.vgg import build_tiny_vgg
+    from channel_pruning_tpu.ops.forward import build_forward, to_device_params
+    from channel_pruning_tpu.sampling.sampler import channel_stats
+
+    g, params = build_tiny_vgg(batch=4, image_size=16)
+    g = split_relu(g)
+    rng = np.random.default_rng(0)
+    inputs = rng.normal(0, 1, (2, 4, 3, 16, 16)).astype(np.float32)
+    tops = {c: g.layer(c).tops[0] for c in g.convs}
+    stats_by_top = channel_stats(g, to_device_params(params), inputs,
+                                 tuple(tops.values()), chunk_batches=2)
+    stats = {c: stats_by_top[t] for c, t in tops.items()}
+    g2, p2 = add_bn_after_convs(g, params, stats)
+    assert len(g2.bns) == len(g.convs)
+    x = inputs[0]
+    o1, _ = build_forward(g, jit=False)(to_device_params(params), {"data": x})
+    o2, _ = build_forward(g2, jit=False)(to_device_params(p2), {"data": x})
+    np.testing.assert_allclose(np.asarray(o1["prob"]), np.asarray(o2["prob"]),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_ancestors_subgraph_minimal():
+    from channel_pruning_tpu.models.resnet import build_tiny_resnet
+
+    g, _ = build_tiny_resnet(batch=2, image_size=32)
+    sub = g.ancestors_subgraph(("res2a_branch2b",))
+    assert sub.has_layer("res2a_branch2a")
+    assert not sub.has_layer("res3a_branch2a")
+    assert not sub.has_layer("fc1000")
+    # a shortcut-only tensor outside the branch path is dropped too
+    assert not sub.has_layer("res2a_branch2c")
