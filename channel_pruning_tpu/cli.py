@@ -244,6 +244,17 @@ def cmd_finetune(args):
     print(f"[finetune] {state.step} steps -> {wd}/ft_{graph.name}.caffemodel")
 
 
+def cmd_time(args):
+    """Forward latency/throughput (the reference's `caffe time`,
+    lib/net.py:1760)."""
+    from channel_pruning_tpu.utils.profiling import time_forward
+
+    graph, params = _load_model(args)
+    res = time_forward(graph, params, batch=args.batch, iters=args.iters)
+    print(json.dumps(res))
+    return res
+
+
 def cmd_eval(args):
     from channel_pruning_tpu.train import evaluate as ev
     from channel_pruning_tpu.train.finetune import synthetic_batches
@@ -315,6 +326,11 @@ def main(argv=None):
     common(p)
     p.add_argument("--eval-batches", type=int, default=None)
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("time", help="forward latency/throughput (caffe time)")
+    common(p)
+    p.add_argument("--iters", type=int, default=20)
+    p.set_defaults(fn=cmd_time)
 
     args = parser.parse_args(argv)
     return args.fn(args)
