@@ -157,8 +157,11 @@ def search_alpha(gram: LassoGram, rank: int, rank_tol: float,
         supports = np.asarray(support_sizes(betas))
         in_band = np.where((supports >= lbound) & (supports <= rbound))[0]
         if in_band.size:
-            # smallest support in band = closest to the requested rank
-            best = in_band[np.argmin(supports[in_band])]
+            # largest support in band: the reference's bisection approaches
+            # from too-large supports and stops at the first value <= rbound,
+            # i.e. near the TOP of the band — and more surviving channels
+            # give strictly better reconstruction at the same speed target
+            best = in_band[np.argmax(supports[in_band])]
             mask = np.asarray(support_mask(betas[best]))
             return mask, float(alphas[best]), int(supports[best])
         # bracket: largest alpha with support > rbound, smallest with < lbound
@@ -298,7 +301,7 @@ def search_alpha_group(gram: GroupGram, rank: int, rank_tol: float,
         supports = masks.sum(axis=1)
         in_band = np.where((supports >= lbound) & (supports <= rbound))[0]
         if in_band.size:
-            best = in_band[np.argmin(supports[in_band])]
+            best = in_band[np.argmax(supports[in_band])]   # top of band (see above)
             return masks[best], float(alphas[best]), int(supports[best])
         over = np.where(supports > rbound)[0]
         under = np.where(supports < lbound)[0]
