@@ -123,3 +123,38 @@ def test_golden_parse_reference_resnet_cp():
     shapes = shapes_of(g)
     # standard ResNet-50 stage shapes survive the pruned import
     assert shapes[g.layer("fc1000").tops[0]][1] == 1000
+
+
+@pytest.mark.skipif(not REF.exists(), reason="reference tree not mounted")
+def test_golden_roundtrip_released_prototxts():
+    """import -> export -> reimport must preserve structure and conv
+    attributes for every released prototxt in the reference's temp/."""
+    for name in ("vgg.prototxt", "channel_pruning.prototxt",
+                 "resnet-50-cp.prototxt"):
+        g1 = cio.import_prototxt_file(REF / "temp" / name, batch=4)
+        g2 = cio.import_prototxt(cio.export_prototxt(g1), batch=4)
+        assert g1.convs == g2.convs, name
+        for c in g1.convs:
+            a1, a2 = g1.layer(c).conv_geometry(), g2.layer(c).conv_geometry()
+            assert a1 == a2, (name, c)
+            assert g1.layer(c).attr("num_output") == g2.layer(c).attr("num_output")
+        s1, s2 = shapes_of(g1), shapes_of(g2)
+        for c in g1.convs:
+            assert s1[g1.layer(c).tops[0]] == s2[g2.layer(c).tops[0]]
+
+
+def test_deploy_export_roundtrip(tmp_path):
+    """Serialized StableHLO forward reloads and matches the live forward."""
+    from channel_pruning_tpu import deploy
+    from channel_pruning_tpu.models.vgg import build_tiny_vgg
+    from channel_pruning_tpu.ops.forward import build_forward, to_device_params
+
+    g, params = build_tiny_vgg(batch=2, image_size=16)
+    p = tmp_path / "net.stablehlo"
+    deploy.export_serialized(g, params, p, batch=2)
+    fn = deploy.load_serialized(p)
+    x = np.random.default_rng(0).normal(0, 1, (2, 3, 16, 16)).astype(np.float32)
+    got = np.asarray(fn(x))
+    outs, _ = build_forward(g, jit=False)(to_device_params(params), {"data": x})
+    np.testing.assert_allclose(got, np.asarray(outs["prob"]), rtol=1e-5,
+                               atol=1e-6)
