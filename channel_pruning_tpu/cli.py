@@ -110,7 +110,9 @@ def cmd_prune(args):
         print(f"[prune] froze calibration cache -> {cache_path}")
 
     is_vgg = "vgg" in graph.name
-    if args.mode == "3c":
+    if args.mode == "2c":
+        cfg = cfg.replace_nested("dic.vh", False)  # decomposition only
+    if args.mode in ("3c", "2c"):
         if args.ranks:
             ranks = json.loads(Path(args.ranks).read_text())
         elif is_vgg and len(graph.convs) == 13:
@@ -142,7 +144,7 @@ def cmd_prune(args):
     print(f"[prune] conv mults {orig:,} -> {new:,} "
           f"({orig / max(new, 1):.2f}x) in {dt:.1f}s")
 
-    prefix = "3C" if args.mode == "3c" else "cp"
+    prefix = {"3c": "3C", "2c": "2C", "prune": "cp"}[args.mode]
     cio.export_model(res.graph, res.params, wd / f"{prefix}_{graph.name}.prototxt",
                      wd / f"{prefix}_{graph.name}.caffemodel")
     np.savez_compressed(wd / f"{prefix}_{graph.name}_selections.npz",
@@ -288,7 +290,7 @@ def main(argv=None):
 
     p = sub.add_parser("prune", help="c3 compression pipeline")
     common(p)
-    p.add_argument("--mode", choices=["prune", "3c"], default="prune")
+    p.add_argument("--mode", choices=["prune", "3c", "2c"], default="prune")
     p.add_argument("--speed", type=float, default=5.0)
     p.add_argument("--cal-batches", type=int, default=50)
     p.add_argument("--cal-batch", type=int, default=10)

@@ -179,12 +179,34 @@ def import_prototxt_file(path: str | Path, **kw) -> Graph:
 # Graph -> prototxt
 # ---------------------------------------------------------------------------
 
-def export_prototxt(graph: Graph) -> str:
+def export_prototxt(graph: Graph, data_layer: Mapping[str, Any] | None = None
+                    ) -> str:
+    """Render the graph as prototxt. By default net inputs become
+    input/input_shape headers; with `data_layer` (e.g. {"source": "val.txt",
+    "batch_size": 10, "new_dim": 256, "crop_size": 224, "mean_file":
+    "bgr.binaryproto"}) an ImageData eval layer matching the fork's
+    (temp/vgg.prototxt:7-21) is emitted instead, so `caffe test` can run the
+    artifact directly."""
     msg: pt.Msg = {"name": graph.name}
-    if graph.inputs:
+    out_layers: list[pt.Msg] = []
+    if data_layer is not None and graph.inputs:
+        spec = graph.inputs[0]
+        tp: pt.Msg = {"crop_size": int(data_layer.get("crop_size", spec.shape[2]))}
+        if "mean_file" in data_layer:
+            tp["mean_file"] = data_layer["mean_file"]
+        idp: pt.Msg = {"source": data_layer.get("source", "val.txt"),
+                       "batch_size": int(data_layer.get("batch_size", spec.shape[0])),
+                       "new_dim": int(data_layer.get("new_dim", 256)),
+                       "bicubic": True,
+                       "shuffle": bool(data_layer.get("shuffle", False))}
+        if "root_folder" in data_layer:
+            idp["root_folder"] = data_layer["root_folder"]
+        out_layers.append({"name": "data", "type": "ImageData",
+                           "top": [spec.name, "label"],
+                           "transform_param": tp, "image_data_param": idp})
+    elif graph.inputs:
         msg["input"] = [s.name for s in graph.inputs]
         msg["input_shape"] = [{"dim": list(s.shape)} for s in graph.inputs]
-    out_layers: list[pt.Msg] = []
     for l in graph.layers:
         lm: pt.Msg = {"name": l.name, "bottom": list(l.bottoms),
                       "top": list(l.tops)}

@@ -158,3 +158,19 @@ def test_deploy_export_roundtrip(tmp_path):
     outs, _ = build_forward(g, jit=False)(to_device_params(params), {"data": x})
     np.testing.assert_allclose(got, np.asarray(outs["prob"]), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_export_with_imagedata_layer():
+    g = build_tiny_vgg(batch=4, image_size=16)[0]
+    text = cio.export_prototxt(g, data_layer={"source": "val.txt",
+                                              "batch_size": 10,
+                                              "new_dim": 256,
+                                              "mean_file": "bgr.binaryproto"})
+    msg = pt.parse(text)
+    first = pt.as_list(msg["layer"])[0]
+    assert first["type"] == "ImageData"
+    assert first["image_data_param"]["bicubic"] is True
+    assert first["transform_param"]["mean_file"] == "bgr.binaryproto"
+    # still importable (data layer becomes the input spec)
+    g2 = cio.import_prototxt(text, batch=4, default_image=16)
+    assert g2.convs == g.convs
