@@ -1,0 +1,116 @@
+"""Rolling activation replay for strictly sequential solve passes.
+
+The per-layer extraction in pipeline/c3.py replays the running graph from the
+input for every consumer — O(L^2) conv work over the whole pass (the
+reference does the same: 500 forwards per extraction, 3x per layer,
+lib/net.py:1330,1386,1698). For CHAIN graphs (VGG / plain nets) the pass is
+strictly sequential, so we can instead keep the *current consumer's bottom
+activations for the entire calibration set resident in HBM* and advance them
+layer-by-layer with the already-updated weights — O(L) total conv work.
+
+Memory: the widest VGG tensor at 500 calibration images is
+500 x 64 x 224 x 224 f32 = 6.4 GB — fits v5e HBM alongside the weights.
+`fits_in_hbm` guards the optimisation; callers fall back to full replays
+(sampling.sample_patches) when it doesn't apply (residual topologies, bigger
+calibration sets).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from channel_pruning_tpu.graph.ir import Graph, LT, shapes_of
+from channel_pruning_tpu.ops.forward import compute_layer
+from channel_pruning_tpu.ops.patches import (gather_channels_at_points,
+                                             gather_patches_at_points)
+
+_STRUCT = (LT.ELTWISE, LT.CONCAT, LT.SELECT)
+
+
+def is_chain(graph: Graph) -> bool:
+    """True when every activation tensor has exactly one consumer path —
+    no residual junctions (Eltwise/Concat) between convs."""
+    return not graph.by_type(*_STRUCT)
+
+
+def estimate_peak_bytes(graph: Graph, n_images: int, dtype_bytes: int = 4) -> int:
+    shapes = shapes_of(graph, batch=1)
+    return max((int(np.prod(s[1:])) for s in shapes.values() if len(s) == 4),
+               default=0) * n_images * dtype_bytes
+
+
+@functools.lru_cache(maxsize=64)
+def _segment_fn(graph: Graph, from_tensor: str, to_tensor: str,
+                compute_dtype: str | None):
+    """Jitted fn(params, acts_at_from) -> acts_at_to, applying the layer
+    slice (from_tensor, to_tensor]. NHWC internally like ops/forward."""
+    from channel_pruning_tpu.sampling.sampler import _dtype_of
+
+    start = graph.index(graph.producer(from_tensor).name) if \
+        graph.producer(from_tensor) is not None else -1
+    cd = _dtype_of(compute_dtype)
+
+    @jax.jit
+    def fn(params, x):  # x: (N, C, H, W)
+        env = {from_tensor: jnp.transpose(x, (0, 2, 3, 1))}
+        for l in graph.layers[start + 1:]:
+            if not all(b in env for b in l.bottoms):
+                continue
+            compute_layer(l, env, params, compute_dtype=cd)
+            if to_tensor in env:
+                break
+        return jnp.transpose(env[to_tensor], (0, 3, 1, 2))
+
+    return fn
+
+
+class RollingReplay:
+    """HBM-resident activation frontier over the calibration set."""
+
+    def __init__(self, graph: Graph, inputs: np.ndarray,
+                 compute_dtype: str | None = None, chunk_images: int = 0):
+        self.graph = graph
+        # (n_batches, bs, C, H, W) -> (N, C, H, W) on device
+        flat = inputs.reshape((-1,) + inputs.shape[2:])
+        self.n_images = flat.shape[0]
+        self.batch_size = inputs.shape[1]
+        self.tensor = graph.inputs[0].name
+        self.acts = jnp.asarray(flat)
+        self.compute_dtype = compute_dtype
+
+    def advance_to(self, params, tensor: str) -> None:
+        """Move the frontier forward to `tensor` using CURRENT params."""
+        if tensor == self.tensor:
+            return
+        fn = _segment_fn(self.graph, self.tensor, tensor, self.compute_dtype)
+        self.acts = fn(params, self.acts)
+        self.tensor = tensor
+
+    def patches_at(self, plan, conv: str) -> np.ndarray:
+        """(N, c, kh, kw) input patches of `conv` gathered from the frontier
+        (which must be at conv's bottom)."""
+        l = self.graph.layer(conv)
+        assert l.bottoms[0] == self.tensor, (l.bottoms[0], self.tensor)
+        geo = l.conv_geometry()
+        ys_all, xs_all = plan[l.tops[0]]
+        acts = self.acts.reshape((-1, self.batch_size) + self.acts.shape[1:])
+        out = jax.vmap(lambda a, yy, xx: gather_patches_at_points(
+            a, yy, xx, (geo["kh"], geo["kw"]), (geo["sh"], geo["sw"]),
+            (geo["ph"], geo["pw"])))(acts, jnp.asarray(ys_all),
+                                     jnp.asarray(xs_all))
+        return np.asarray(out.reshape((-1,) + out.shape[2:]))
+
+    def features_at(self, params, plan, tensor: str) -> np.ndarray:
+        """Sampled responses of `tensor` computed from the frontier (one
+        layer-segment forward, frontier unchanged)."""
+        fn = _segment_fn(self.graph, self.tensor, tensor, self.compute_dtype)
+        v = fn(params, self.acts)
+        ys_all, xs_all = plan[tensor]
+        vg = v.reshape((-1, self.batch_size) + v.shape[1:])
+        rows = jax.vmap(gather_channels_at_points)(
+            vg, jnp.asarray(ys_all), jnp.asarray(xs_all))
+        return np.asarray(rows.reshape(-1, rows.shape[-1]))

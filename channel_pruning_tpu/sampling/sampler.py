@@ -151,23 +151,35 @@ def _chunk_iter(inputs: np.ndarray, chunk_batches: int):
 def sample_features(graph: Graph, params, inputs: np.ndarray,
                     plan: Mapping[str, tuple[np.ndarray, np.ndarray]],
                     tensors: Sequence[str], chunk_batches: int = 25,
-                    compute_dtype: str | None = None) -> dict[str, np.ndarray]:
+                    compute_dtype: str | None = None,
+                    max_group: int = 6) -> dict[str, np.ndarray]:
     """Ground-truth response sampling: {tensor: (n_batches*P*bs, C)} (dense
     (n_images, D) for non-spatial tensors). inputs: (n_batches, bs, C, H, W).
     `compute_dtype="bfloat16"` runs conv math on the MXU in bf16 with f32
     accumulation (~2x throughput; replay-only — freeze ground truth should
-    stay f32)."""
+    stay f32).
+
+    Captures are split into depth-ordered groups of <= `max_group` tensors,
+    one jitted program each: very large capture programs (whole-net freeze,
+    16 tensors) have been observed to fault the TPU worker, and ancestor
+    truncation makes the shallow groups nearly free anyway."""
     tensors = tuple(tensors)
     bs = inputs.shape[1]
-    fn = _feature_chunk_fn(graph, tensors, bs, compute_dtype)
+    # order by production depth so each group's subgraph is a prefix
+    order = {t: i for i, l in enumerate(graph.layers) for t in l.tops}
+    ordered = sorted(tensors, key=lambda t: order.get(t, 0))
+    groups = [tuple(ordered[i:i + max_group])
+              for i in range(0, len(ordered), max_group)]
     outs: dict[str, list[np.ndarray]] = {t: [] for t in tensors}
-    for lo, hi in _chunk_iter(inputs, chunk_batches):
-        x = jnp.asarray(inputs[lo:hi].reshape((-1,) + inputs.shape[2:]))
-        ys = {t: jnp.asarray(plan[t][0][lo:hi]) for t in tensors}
-        xs = {t: jnp.asarray(plan[t][1][lo:hi]) for t in tensors}
-        res = fn(params, x, ys, xs)
-        for t in tensors:
-            outs[t].append(np.asarray(res[t]))
+    for group in groups:
+        fn = _feature_chunk_fn(graph, group, bs, compute_dtype)
+        for lo, hi in _chunk_iter(inputs, chunk_batches):
+            x = jnp.asarray(inputs[lo:hi].reshape((-1,) + inputs.shape[2:]))
+            ys = {t: jnp.asarray(plan[t][0][lo:hi]) for t in group}
+            xs = {t: jnp.asarray(plan[t][1][lo:hi]) for t in group}
+            res = fn(params, x, ys, xs)
+            for t in group:
+                outs[t].append(np.asarray(res[t]))
     return {t: np.concatenate(v, axis=0) for t, v in outs.items()}
 
 
