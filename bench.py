@@ -115,6 +115,8 @@ def sklearn_solve(X, W2, Y, rank, *, subsample=400, seed=0, rank_tol=0.1):
 
 
 def main():
+    from channel_pruning_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
     X, W2, Y, rank = make_problem()
     dev_t, dev_keep, dev_err = device_solve(X, W2, Y, rank)
     sk_t, sk_keep, sk_err = sklearn_solve(X, W2, Y, rank)

@@ -274,6 +274,8 @@ def cmd_eval(args):
 
 
 def main(argv=None):
+    from channel_pruning_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(prog="channel_pruning_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 

@@ -125,6 +125,22 @@ def prune_targets_from_ratio(graph: Graph, speed_ratio: float,
     return targets
 
 
+def _maybe_rolling(g_run: Graph, cache: sampling.FrozenCache,
+                   compute_dtype: str | None,
+                   hbm_budget: int = 8 << 30):
+    """Use the O(L) rolling frontier when the topology is a chain and the
+    widest activation tensor over the whole calibration set fits HBM."""
+    from channel_pruning_tpu.sampling import rolling as rolling_mod
+
+    n_images = cache.n_batches * cache.batch_size
+    if not rolling_mod.is_chain(g_run):
+        return None
+    if rolling_mod.estimate_peak_bytes(g_run, n_images) > hbm_budget:
+        return None
+    return rolling_mod.RollingReplay(g_run, cache.inputs,
+                                     compute_dtype=compute_dtype)
+
+
 def _residual_context(g_run: Graph, consumer_top: str):
     """If `consumer_top` feeds an Eltwise sum, return (eltwise top, other
     bottom tensors) — the residual-compensation context (reference appresb,
@@ -154,6 +170,9 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
     * With `residual_compensate`, a consumer feeding an Eltwise sum is fit
       against `gt(block) − current(shortcut)` so the whole block output is
       reconstructed (reference appresb, net.py:1641-1683).
+
+    Chain graphs with a calibration set that fits HBM use the O(L) rolling
+    frontier (sampling/rolling.py) instead of O(L^2) full replays.
     """
     timer = Timer()
     g_run = graph
@@ -168,6 +187,7 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
     # re-uploading the whole pytree each layer would move ~0.5 GB/layer for
     # VGG-16 over the host<->TPU link
     dev_run = to_device_params(p_run)
+    roll = _maybe_rolling(g_run, cache, cdt)
 
     convs = list(g_run.convs)
     for i, consumer in enumerate(convs):
@@ -186,9 +206,13 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         if target >= n_in:
             continue
         timer.tic()
-        X = sampling.sample_patches(g_run, dev_run, cache.inputs, consumer,
-                                    cache.plan, chunk_batches=chunk,
-                                    compute_dtype=cdt)
+        if roll is not None:
+            roll.advance_to(dev_run, bottom)
+            X = roll.patches_at(cache.plan, consumer)
+        else:
+            X = sampling.sample_patches(g_run, dev_run, cache.inputs, consumer,
+                                        cache.plan, chunk_batches=chunk,
+                                        compute_dtype=cdt)
         top = g_run.layer(consumer).tops[0]
         b2 = p_run[consumer].get("b", np.zeros(p_run[consumer]["W"].shape[0],
                                                np.float32))
@@ -341,6 +365,7 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
     chunk = max(cfg.sample.device_batch // cache.batch_size, 1)
     cdt = None if cfg.solve.dtype == "float32" else cfg.solve.dtype
     dev_run = to_device_params(p_run)   # incremental device copy (see solve_prune)
+    roll = _maybe_rolling(g_run, cache, cdt)
 
     def _sync(name: str) -> None:
         nonlocal dev_run
@@ -362,9 +387,13 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         timer.tic()
 
         # ---- (a) spatial decomposition --------------------------------
-        X = sampling.sample_patches(g_run, dev_run, cache.inputs, conv,
-                                    cache.plan, chunk_batches=chunk,
-                                    compute_dtype=cdt)
+        if roll is not None:
+            roll.advance_to(dev_run, l_run.bottoms[0])
+            X = roll.patches_at(cache.plan, conv)
+        else:
+            X = sampling.sample_patches(g_run, dev_run, cache.inputs, conv,
+                                        cache.plan, chunk_batches=chunk,
+                                        compute_dtype=cdt)
         vh = lowrank.vh_decompose(W_cur, rank, X=X, Y=Ygt,
                                   lambdas=cfg.solve.nonlinear_lambdas,
                                   iters=cfg.solve.nonlinear_iters)
@@ -375,10 +404,13 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
 
         # ---- (b) channel decomposition (ITQ) --------------------------
         timer.tic()
-        feat = sampling.sample_features(g_run, dev_run, cache.inputs,
-                                        cache.plan, (top,),
-                                        chunk_batches=chunk,
-                                        compute_dtype=cdt)[top]
+        if roll is not None:
+            feat = roll.features_at(dev_run, cache.plan, top)
+        else:
+            feat = sampling.sample_features(g_run, dev_run, cache.inputs,
+                                            cache.plan, (top,),
+                                            chunk_batches=chunk,
+                                            compute_dtype=cdt)[top]
         itq = lowrank.itq_decompose(feat, Ygt, np.asarray(vh.H), rank,
                                     bias=np.asarray(vh.b), Wr=np.asarray(vh.VHr),
                                     lambdas=cfg.solve.itq_lambdas,
@@ -414,10 +446,14 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         if convnext is not None and cfg.dic.vh:
             d_c = int(math.floor(n_out / cfg.dic.c_ratio))
             timer.tic()
-            Xn = sampling.sample_patches(g_run, dev_run, cache.inputs,
-                                         convnext, cache.plan,
-                                         chunk_batches=chunk,
-                                         compute_dtype=cdt)
+            if roll is not None:
+                roll.advance_to(dev_run, g_run.layer(convnext).bottoms[0])
+                Xn = roll.patches_at(cache.plan, convnext)
+            else:
+                Xn = sampling.sample_patches(g_run, dev_run, cache.inputs,
+                                             convnext, cache.plan,
+                                             chunk_batches=chunk,
+                                             compute_dtype=cdt)
             topn = g_run.layer(convnext).tops[0]
             bn2 = p_run[convnext].get(
                 "b", np.zeros(p_run[convnext]["W"].shape[0], np.float32))
