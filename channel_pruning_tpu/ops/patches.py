@@ -34,22 +34,28 @@ def gather_patches_at_points(x: jax.Array, ys: jax.Array, xs: jax.Array,
     """Extract the k x k input patch feeding each sampled output point.
 
     x: (B, C, H, W) the conv's *input*; ys/xs: (P,) sampled *output*
-    coordinates. Patch top-left in padded input coords is y*stride (the pad
-    offset cancels after padding). Returns (P*B, C, kh, kw), row = p*B + b —
-    the im2col-at-points contract of extract_XY (lib/net.py:564-632, with the
-    zero-padding of net.py:631-632 realised by jnp.pad).
+    coordinates. Returns (P*B, C, kh, kw), row = p*B + b — the
+    im2col-at-points contract of extract_XY (lib/net.py:564-632). Conv
+    zero-padding (net.py:631-632) is realised by CLAMP + MASK instead of
+    materialising a padded copy of x — padding an HBM-resident whole-set
+    frontier (sampling/rolling.py) would double its footprint.
     """
     kh, kw = kernel
     sh, sw = stride
     ph, pw = pad
-    if ph or pw:
-        x = jnp.pad(x, ((0, 0), (0, 0), (ph, ph), (pw, pw)))
-    h0 = ys * sh                               # (P,)
-    w0 = xs * sw
+    H, W = x.shape[2], x.shape[3]
+    h0 = ys * sh - ph                          # (P,) may be negative
+    w0 = xs * sw - pw
     rows = h0[:, None] + jnp.arange(kh)[None, :]          # (P, kh)
     cols = w0[:, None] + jnp.arange(kw)[None, :]          # (P, kw)
+    rmask = (rows >= 0) & (rows < H)
+    cmask = (cols >= 0) & (cols < W)
+    rc = jnp.clip(rows, 0, H - 1)
+    cc = jnp.clip(cols, 0, W - 1)
     # advanced-index gather: (B, C, P, kh, kw)
-    sub = x[:, :, rows[:, :, None], cols[:, None, :]]
+    sub = x[:, :, rc[:, :, None], cc[:, None, :]]
+    mask = (rmask[:, :, None] & cmask[:, None, :]).astype(x.dtype)  # (P,kh,kw)
+    sub = sub * mask[None, None]
     return jnp.transpose(sub, (2, 0, 1, 3, 4)).reshape(
         -1, x.shape[1], kh, kw)
 

@@ -8,16 +8,21 @@ strictly sequential, so we can instead keep the *current consumer's bottom
 activations for the entire calibration set resident in HBM* and advance them
 layer-by-layer with the already-updated weights — O(L) total conv work.
 
-Memory: the widest VGG tensor at 500 calibration images is
-500 x 64 x 224 x 224 f32 = 6.4 GB — fits v5e HBM alongside the weights.
-`fits_in_hbm` guards the optimisation; callers fall back to full replays
-(sampling.sample_patches) when it doesn't apply (residual topologies, bigger
-calibration sets).
+Memory discipline: the frontier is stored as a LIST of per-group arrays
+(default 100 images/group). Advancing replaces one group at a time, so the
+peak is (full frontier) + (one group's output) ≈ 6.4 GB + 1.3 GB for VGG-16
+at 500 images — advancing a monolithic 6.4 GB tensor would need both the old
+and new frontier live (~13 GB) and OOM a v5e chip. Gathers are jitted per
+group with clamp+mask padding (ops/patches.py) so no padded copy of the
+frontier is ever materialised.
+
+`fits_in_hbm`-style guards live in pipeline/c3._maybe_rolling; callers fall
+back to full replays (sampling.sample_patches) for residual topologies or
+oversized calibration sets.
 """
 from __future__ import annotations
 
 import functools
-from typing import Mapping
 
 import jax
 import jax.numpy as jnp
@@ -69,25 +74,34 @@ def _segment_fn(graph: Graph, from_tensor: str, to_tensor: str,
 
 
 class RollingReplay:
-    """HBM-resident activation frontier over the calibration set."""
+    """HBM-resident activation frontier over the calibration set, stored as
+    per-group chunks."""
 
     def __init__(self, graph: Graph, inputs: np.ndarray,
-                 compute_dtype: str | None = None, chunk_images: int = 0):
+                 compute_dtype: str | None = None, group_batches: int = 10):
         self.graph = graph
-        # (n_batches, bs, C, H, W) -> (N, C, H, W) on device
-        flat = inputs.reshape((-1,) + inputs.shape[2:])
-        self.n_images = flat.shape[0]
         self.batch_size = inputs.shape[1]
+        n_batches = inputs.shape[0]
+        step = min(group_batches, n_batches)
+        while n_batches % step:
+            step -= 1  # uniform groups -> one compile serves all
+        self.group_batches = step
+        self.n_images = n_batches * self.batch_size
+        flat = inputs.reshape((-1,) + inputs.shape[2:])
+        gi = step * self.batch_size
+        self.groups: list[jax.Array] = [
+            jnp.asarray(flat[i:i + gi]) for i in range(0, flat.shape[0], gi)]
         self.tensor = graph.inputs[0].name
-        self.acts = jnp.asarray(flat)
         self.compute_dtype = compute_dtype
 
     def advance_to(self, params, tensor: str) -> None:
-        """Move the frontier forward to `tensor` using CURRENT params."""
+        """Move the frontier forward to `tensor` using CURRENT params,
+        one group at a time (bounded memory)."""
         if tensor == self.tensor:
             return
         fn = _segment_fn(self.graph, self.tensor, tensor, self.compute_dtype)
-        self.acts = fn(params, self.acts)
+        for i in range(len(self.groups)):
+            self.groups[i] = fn(params, self.groups[i])
         self.tensor = tensor
 
     def patches_at(self, plan, conv: str) -> np.ndarray:
@@ -97,20 +111,43 @@ class RollingReplay:
         assert l.bottoms[0] == self.tensor, (l.bottoms[0], self.tensor)
         geo = l.conv_geometry()
         ys_all, xs_all = plan[l.tops[0]]
-        acts = self.acts.reshape((-1, self.batch_size) + self.acts.shape[1:])
-        out = jax.vmap(lambda a, yy, xx: gather_patches_at_points(
-            a, yy, xx, (geo["kh"], geo["kw"]), (geo["sh"], geo["sw"]),
-            (geo["ph"], geo["pw"])))(acts, jnp.asarray(ys_all),
-                                     jnp.asarray(xs_all))
-        return np.asarray(out.reshape((-1,) + out.shape[2:]))
+        kern = ((geo["kh"], geo["kw"]), (geo["sh"], geo["sw"]),
+                (geo["ph"], geo["pw"]))
+        bs = self.batch_size
+
+        @jax.jit
+        def gather(a, yy, xx):
+            ag = a.reshape((-1, bs) + a.shape[1:])
+            out = jax.vmap(lambda v, y, x: gather_patches_at_points(
+                v, y, x, *kern))(ag, yy, xx)
+            return out.reshape((-1,) + out.shape[2:])
+
+        outs = []
+        for gi, g in enumerate(self.groups):
+            lo = gi * self.group_batches
+            hi = lo + self.group_batches
+            outs.append(np.asarray(gather(g, jnp.asarray(ys_all[lo:hi]),
+                                          jnp.asarray(xs_all[lo:hi]))))
+        return np.concatenate(outs, axis=0)
 
     def features_at(self, params, plan, tensor: str) -> np.ndarray:
         """Sampled responses of `tensor` computed from the frontier (one
-        layer-segment forward, frontier unchanged)."""
+        layer-segment forward per group, frontier unchanged)."""
         fn = _segment_fn(self.graph, self.tensor, tensor, self.compute_dtype)
-        v = fn(params, self.acts)
         ys_all, xs_all = plan[tensor]
-        vg = v.reshape((-1, self.batch_size) + v.shape[1:])
-        rows = jax.vmap(gather_channels_at_points)(
-            vg, jnp.asarray(ys_all), jnp.asarray(xs_all))
-        return np.asarray(rows.reshape(-1, rows.shape[-1]))
+        bs = self.batch_size
+
+        @jax.jit
+        def gather(v, yy, xx):
+            vg = v.reshape((-1, bs) + v.shape[1:])
+            rows = jax.vmap(gather_channels_at_points)(vg, yy, xx)
+            return rows.reshape(-1, rows.shape[-1])
+
+        outs = []
+        for gi, g in enumerate(self.groups):
+            lo = gi * self.group_batches
+            hi = lo + self.group_batches
+            v = fn(params, g)
+            outs.append(np.asarray(gather(v, jnp.asarray(ys_all[lo:hi]),
+                                          jnp.asarray(xs_all[lo:hi]))))
+        return np.concatenate(outs, axis=0)
