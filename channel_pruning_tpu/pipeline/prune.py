@@ -119,14 +119,27 @@ def select_and_reconstruct(X: np.ndarray, W2: np.ndarray, Y: np.ndarray,
                 keep = refined
 
     # least-squares reconstruction on surviving channels, FULL sample set
-    # (decompose.py:622-623 -> fc_kernel)
+    # (decompose.py:622-623 -> fc_kernel). The design matrix is zero-padded
+    # to a channel-count bucket so the jitted Cholesky solve compiles once
+    # per layer-size class instead of once per (data-dependent) support size;
+    # padded columns get exactly-zero coefficients from the jitter ridge.
     kh, kw = X.shape[2], X.shape[3]
-    Xk = Xd[:, keep].reshape(N, -1)
+    n_keep = int(keep.sum())
+    bucket = -(-n_keep // 32) * 32
+    keep_idx = np.where(keep)[0]
+    idx_pad = np.concatenate([keep_idx, np.zeros(bucket - n_keep, np.int64)])
+    Xk = jnp.take(Xd, jnp.asarray(idx_pad), axis=1).reshape(N, -1)
+    mask = jnp.asarray((np.arange(bucket) < n_keep)
+                       .repeat(kh * kw).astype(np.float32))
+    Xk = Xk * mask                       # zero the padded columns
     W, b = lstsq.fit_linear(Xk, Yd, ridge=ridge)
-    W = np.asarray(W).reshape(Y.shape[1], int(keep.sum()), kh, kw)
+    W = np.asarray(W).reshape(Y.shape[1], bucket, kh, kw)[:, :n_keep]
     b = np.asarray(b)
 
-    pred1 = jnp.einsum("nchw,ochw->no", Xd[:, keep], jnp.asarray(W)) + b
+    # rMSE at the FULL input width (stable shape -> shared compile with pred0)
+    Wfull = np.zeros((Y.shape[1], c, kh, kw), np.float32)
+    Wfull[:, keep] = W
+    pred1 = jnp.einsum("nchw,ochw->no", Xd, jnp.asarray(Wfull)) + b
     rmse_after = float(rel_error(np.asarray(Yd), np.asarray(pred1)))
     return PruneResult(keep=np.asarray(keep, bool), W=W, b=b, alpha=float(alpha),
                        rmse_before=rmse_before, rmse_after=rmse_after)
