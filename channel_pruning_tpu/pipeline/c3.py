@@ -141,6 +141,23 @@ def _maybe_rolling(g_run: Graph, cache: sampling.FrozenCache,
                                      compute_dtype=compute_dtype)
 
 
+def _epscheck(*arrays, warn: float = 1e2, reject: float = 1e4) -> bool:
+    """Numeric guard on decomposition factors (reference epscheck,
+    lib/decompose.py:158-161: warns at 1e2/1e4). Returns False when a factor
+    is non-finite or beyond `reject` — the caller reverts the layer."""
+    worst = 0.0
+    for a in arrays:
+        a = np.asarray(a)
+        if not np.isfinite(a).all():
+            return False
+        worst = max(worst, float(np.abs(a).max()))
+    if worst > reject:
+        return False
+    if worst > warn:
+        print(f"[epscheck] factor magnitude {worst:.1e} exceeds {warn:.0e}")
+    return True
+
+
 def _residual_context(g_run: Graph, consumer_top: str):
     """If `consumer_top` feeds an Eltwise sum, return (eltwise top, other
     bottom tensors) — the residual-compensation context (reference appresb,
@@ -397,6 +414,12 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         vh = lowrank.vh_decompose(W_cur, rank, X=X, Y=Ygt,
                                   lambdas=cfg.solve.nonlinear_lambdas,
                                   iters=cfg.solve.nonlinear_iters)
+        if not _epscheck(vh.VHr, vh.b, vh.V, vh.H):
+            print(f"[3c] {conv}: spatial factors rejected by epscheck — "
+                  "layer kept undecomposed")
+            reports.append(LayerReport(conv=conv, rank=rank,
+                                       seconds=timer.toc()))
+            continue
         p_run[conv]["W"] = np.asarray(vh.VHr)
         p_run[conv]["b"] = np.asarray(vh.b)
         _sync(conv)
@@ -415,6 +438,23 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                                     bias=np.asarray(vh.b), Wr=np.asarray(vh.VHr),
                                     lambdas=cfg.solve.itq_lambdas,
                                     iters=cfg.solve.itq_iters)
+        if not _epscheck(itq.W1, itq.W2, itq.B, itq.W12):
+            print(f"[3c] {conv}: ITQ factors rejected by epscheck — "
+                  "layer kept at spatial (VH) decomposition only")
+            # running graph keeps VHr; output graph gets V + H(+bias), no P
+            keep_in = input_keep.get(conv, np.ones(c_full, bool))
+            g_out, p_out = rewrite.set_conv(
+                g_out, p_out, conv, W=np.asarray(vh.V)[:, keep_in], b=None,
+                bias=False, num_output=rank, kernel_h=kh, kernel_w=1,
+                stride_h=geo["sh"], stride_w=1, pad_h=geo["ph"], pad_w=0,
+                new_name=f"{conv}_V")
+            p_out[f"{conv}_V"].pop("b", None)
+            g_out, p_out = rewrite.insert_conv_after(
+                g_out, p_out, f"{conv}_V", f"{conv}_H", np.asarray(vh.H),
+                np.asarray(vh.b), stride=(1, geo["sw"]), pad=(0, geo["pw"]))
+            reports.append(LayerReport(conv=conv, rank=rank,
+                                       seconds=t_spatial + timer.toc()))
+            continue
         p_run[conv]["W"] = np.asarray(itq.W12)
         p_run[conv]["b"] = np.asarray(itq.B)
         _sync(conv)
