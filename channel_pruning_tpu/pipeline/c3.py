@@ -438,34 +438,26 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                                     bias=np.asarray(vh.b), Wr=np.asarray(vh.VHr),
                                     lambdas=cfg.solve.itq_lambdas,
                                     iters=cfg.solve.itq_iters)
-        if not _epscheck(itq.W1, itq.W2, itq.B, itq.W12):
+        itq_ok = _epscheck(itq.W1, itq.W2, itq.B, itq.W12)
+        if itq_ok:
+            p_run[conv]["W"] = np.asarray(itq.W12)
+            p_run[conv]["b"] = np.asarray(itq.B)
+            _sync(conv)
+        else:
             print(f"[3c] {conv}: ITQ factors rejected by epscheck — "
                   "layer kept at spatial (VH) decomposition only")
-            # running graph keeps VHr; output graph gets V + H(+bias), no P
-            keep_in = input_keep.get(conv, np.ones(c_full, bool))
-            g_out, p_out = rewrite.set_conv(
-                g_out, p_out, conv, W=np.asarray(vh.V)[:, keep_in], b=None,
-                bias=False, num_output=rank, kernel_h=kh, kernel_w=1,
-                stride_h=geo["sh"], stride_w=1, pad_h=geo["ph"], pad_w=0,
-                new_name=f"{conv}_V")
-            p_out[f"{conv}_V"].pop("b", None)
-            g_out, p_out = rewrite.insert_conv_after(
-                g_out, p_out, f"{conv}_V", f"{conv}_H", np.asarray(vh.H),
-                np.asarray(vh.b), stride=(1, geo["sw"]), pad=(0, geo["pw"]))
-            reports.append(LayerReport(conv=conv, rank=rank,
-                                       seconds=t_spatial + timer.toc()))
-            continue
-        p_run[conv]["W"] = np.asarray(itq.W12)
-        p_run[conv]["b"] = np.asarray(itq.B)
-        _sync(conv)
         t_channel = timer.toc()
 
-        # ---- output graph: conv -> V, insert H and P ------------------
+        # ---- output graph: conv -> V, insert H (and P when ITQ held) --
         keep_in = input_keep.get(conv, np.ones(c_full, bool))
         V = np.asarray(vh.V)[:, keep_in]             # (rank, c_kept, kh, 1)
-        Hw = np.asarray(itq.W1)                      # (rank, rank_v, 1, kw)
-        Pw = np.asarray(itq.W2)                      # (n_out, rank, 1, 1)
-        Pb = np.asarray(itq.B)
+        if itq_ok:
+            Hw, Hb = np.asarray(itq.W1), None        # (rank, rank_v, 1, kw)
+            Pw = np.asarray(itq.W2)                  # (n_out, rank, 1, 1)
+            Pb = np.asarray(itq.B)
+        else:
+            Hw, Hb = np.asarray(vh.H), np.asarray(vh.b)
+            Pw = Pb = None
         g_out, p_out = rewrite.set_conv(
             g_out, p_out, conv, W=V, b=None, bias=False,
             num_output=rank, kernel_h=kh, kernel_w=1,
@@ -473,11 +465,12 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             new_name=f"{conv}_V")
         p_out[f"{conv}_V"].pop("b", None)
         g_out, p_out = rewrite.insert_conv_after(
-            g_out, p_out, f"{conv}_V", f"{conv}_H", Hw, None,
+            g_out, p_out, f"{conv}_V", f"{conv}_H", Hw, Hb,
             stride=(1, geo["sw"]), pad=(0, geo["pw"]))
-        g_out, p_out = rewrite.insert_conv_after(
-            g_out, p_out, f"{conv}_H", f"{conv}_P", Pw, Pb,
-            stride=1, pad=(0, 0))
+        if itq_ok:
+            g_out, p_out = rewrite.insert_conv_after(
+                g_out, p_out, f"{conv}_H", f"{conv}_P", Pw, Pb,
+                stride=1, pad=(0, 0))
         reports.append(LayerReport(conv=conv, rank=rank,
                                    seconds=t_spatial + t_channel))
 
@@ -511,10 +504,14 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             _sync(convnext)
             input_keep[convnext] = res.keep
             selections[convnext] = res.keep
-            # output graph: slice this conv's P rows, install consumer W
-            p_out[f"{conv}_P"]["W"] = Pw[res.keep]
-            p_out[f"{conv}_P"]["b"] = Pb[res.keep]
-            g_out, p_out = rewrite.set_conv(g_out, p_out, f"{conv}_P",
+            # output graph: slice the producer's rows (P, or H when the ITQ
+            # stage was rejected), install consumer W
+            prod_key = f"{conv}_P" if itq_ok else f"{conv}_H"
+            p_out[prod_key] = dict(p_out[prod_key])
+            p_out[prod_key]["W"] = np.asarray(p_out[prod_key]["W"])[res.keep]
+            if "b" in p_out[prod_key]:
+                p_out[prod_key]["b"] = np.asarray(p_out[prod_key]["b"])[res.keep]
+            g_out, p_out = rewrite.set_conv(g_out, p_out, prod_key,
                                             num_output=int(res.keep.sum()))
             g_out, p_out = rewrite.prune_conv_inputs(
                 g_out, p_out, convnext, res.keep, W=res.W, b=res.b)
