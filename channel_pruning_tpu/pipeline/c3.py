@@ -411,6 +411,13 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             X = sampling.sample_patches(g_run, dev_run, cache.inputs, conv,
                                         cache.plan, chunk_batches=chunk,
                                         compute_dtype=cdt)
+        if not _epscheck(X, warn=1e5, reject=1e6):
+            # extreme accumulated activations would fault the device
+            # eigh/SVD kernels — keep the layer untouched
+            print(f"[3c] {conv}: inputs rejected by epscheck — layer kept")
+            reports.append(LayerReport(conv=conv, rank=rank,
+                                       seconds=timer.toc()))
+            continue
         vh = lowrank.vh_decompose(W_cur, rank, X=X, Y=Ygt,
                                   lambdas=cfg.solve.nonlinear_lambdas,
                                   iters=cfg.solve.nonlinear_iters)
@@ -434,11 +441,15 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                                             cache.plan, (top,),
                                             chunk_batches=chunk,
                                             compute_dtype=cdt)[top]
-        itq = lowrank.itq_decompose(feat, Ygt, np.asarray(vh.H), rank,
-                                    bias=np.asarray(vh.b), Wr=np.asarray(vh.VHr),
-                                    lambdas=cfg.solve.itq_lambdas,
-                                    iters=cfg.solve.itq_iters)
-        itq_ok = _epscheck(itq.W1, itq.W2, itq.B, itq.W12)
+        if _epscheck(feat, warn=1e5, reject=1e6):
+            itq = lowrank.itq_decompose(feat, Ygt, np.asarray(vh.H), rank,
+                                        bias=np.asarray(vh.b),
+                                        Wr=np.asarray(vh.VHr),
+                                        lambdas=cfg.solve.itq_lambdas,
+                                        iters=cfg.solve.itq_iters)
+            itq_ok = _epscheck(itq.W1, itq.W2, itq.B, itq.W12)
+        else:
+            itq, itq_ok = None, False
         if itq_ok:
             p_run[conv]["W"] = np.asarray(itq.W12)
             p_run[conv]["b"] = np.asarray(itq.B)
