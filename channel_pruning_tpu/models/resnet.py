@@ -13,7 +13,13 @@ import numpy as np
 
 from channel_pruning_tpu.graph.ir import Graph, Layer, LT, TensorSpec
 
-RESNET50_FLOPS = 5_036_310_528  # original multiply count (lib/net.py:1084)
+RESNET50_FLOPS = 5_036_310_528  # the reference's hardcoded denominator
+# (lib/net.py:1084). NB: true conv multiply count of this architecture is
+# 3,855,925,248 under output-resolution accounting (utils/flops.py); the
+# reference's constant inflates stride-2 convs by using input resolution.
+# Speed-up ratios stay comparable because the reference applies the same
+# accounting to both sides (their released 2x model measures 1.94x under
+# either convention).
 
 # (stage index, number of blocks, bottleneck width, output width)
 RESNET50_STAGES = ((2, 3, 64, 256), (3, 4, 128, 512), (4, 6, 256, 1024), (5, 3, 512, 2048))
