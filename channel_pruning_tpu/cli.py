@@ -75,8 +75,6 @@ def _workdir(args) -> Path:
 
 
 def cmd_prune(args):
-    import jax
-
     from channel_pruning_tpu.io import caffe as cio
     from channel_pruning_tpu.models.vgg import VGG16_5X_CHANNELS, VGG16_RANKS_4X
     from channel_pruning_tpu.ops.forward import to_device_params

@@ -40,13 +40,14 @@ def time_forward(graph, params, batch: int | None = None, iters: int = 20,
         .astype(np.float32))
     dev = to_device_params(params)
     fwd = build_forward(graph)
+    input_name = graph.inputs[0].name
     for _ in range(warmup):
-        outs, _ = fwd(dev, {shape and graph.inputs[0].name: x})
+        outs, _ = fwd(dev, {input_name: x})
         jax.tree_util.tree_map(lambda a: a.block_until_ready(), outs)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        outs, _ = fwd(dev, {graph.inputs[0].name: x})
+        outs, _ = fwd(dev, {input_name: x})
         jax.tree_util.tree_map(lambda a: a.block_until_ready(), outs)
         times.append(time.perf_counter() - t0)
     times = np.asarray(times)
