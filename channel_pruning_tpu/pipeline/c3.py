@@ -128,17 +128,21 @@ def prune_targets_from_ratio(graph: Graph, speed_ratio: float,
 def _maybe_rolling(g_run: Graph, cache: sampling.FrozenCache,
                    compute_dtype: str | None,
                    hbm_budget: int = 8 << 30):
-    """Use the O(L) rolling frontier when the topology is a chain and the
-    widest activation tensor over the whole calibration set fits HBM."""
+    """Use the O(L) rolling frontier when the live activation cut over the
+    whole calibration set fits HBM: the chain variant for plain nets, the
+    DAG-cut variant for residual topologies."""
     from channel_pruning_tpu.sampling import rolling as rolling_mod
 
     n_images = cache.n_batches * cache.batch_size
-    if not rolling_mod.is_chain(g_run):
+    if rolling_mod.is_chain(g_run):
+        if rolling_mod.estimate_peak_bytes(g_run, n_images) > hbm_budget:
+            return None
+        return rolling_mod.RollingReplay(g_run, cache.inputs,
+                                         compute_dtype=compute_dtype)
+    if rolling_mod.estimate_cut_bytes(g_run, n_images) > hbm_budget:
         return None
-    if rolling_mod.estimate_peak_bytes(g_run, n_images) > hbm_budget:
-        return None
-    return rolling_mod.RollingReplay(g_run, cache.inputs,
-                                     compute_dtype=compute_dtype)
+    return rolling_mod.RollingReplayDAG(g_run, cache.inputs,
+                                        compute_dtype=compute_dtype)
 
 
 def _epscheck(*arrays, warn: float = 1e2, reject: float = 1e4) -> bool:
@@ -223,10 +227,14 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         if target >= n_in:
             continue
         timer.tic()
+        X = None
         if roll is not None:
-            roll.advance_to(dev_run, bottom)
-            X = roll.patches_at(cache.plan, consumer)
-        else:
+            try:
+                roll.advance_to(dev_run, bottom)
+                X = roll.patches_at(cache.plan, consumer)
+            except Exception as exc:  # non-monotone bottom etc: full replay
+                print(f"[rolling] fallback for {consumer}: {exc}")
+        if X is None:
             X = sampling.sample_patches(g_run, dev_run, cache.inputs, consumer,
                                         cache.plan, chunk_batches=chunk,
                                         compute_dtype=cdt)
@@ -238,10 +246,18 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         if e_top is not None and e_top in cache.feats:
             # fit the branch so the BLOCK output matches ground truth:
             # Y = gt(block) − Σ current(other bottoms) − b
-            cur = sampling.sample_features(g_run, dev_run, cache.inputs,
-                                           cache.plan, others,
-                                           chunk_batches=chunk,
-                                           compute_dtype=cdt)
+            cur = None
+            if roll is not None:
+                try:
+                    cur = {o: roll.features_at(dev_run, cache.plan, o)
+                           for o in others}
+                except Exception as exc:
+                    print(f"[rolling] features fallback for {consumer}: {exc}")
+            if cur is None:
+                cur = sampling.sample_features(g_run, dev_run, cache.inputs,
+                                               cache.plan, others,
+                                               chunk_batches=chunk,
+                                               compute_dtype=cdt)
             Y = cache.feats[e_top].astype(np.float64) - b2
             for o in others:
                 Y = Y - cur[o]

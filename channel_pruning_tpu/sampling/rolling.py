@@ -151,3 +151,184 @@ class RollingReplay:
             outs.append(np.asarray(gather(v, jnp.asarray(ys_all[lo:hi]),
                                           jnp.asarray(xs_all[lo:hi]))))
         return np.concatenate(outs, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# DAG generalisation: rolling cut for residual topologies
+# ---------------------------------------------------------------------------
+
+def _last_use(graph: Graph) -> dict[str, int]:
+    """tensor -> index of its last consumer layer (-1 if never consumed)."""
+    last: dict[str, int] = {}
+    for i, l in enumerate(graph.layers):
+        for b in l.bottoms:
+            last[b] = i
+    return last
+
+
+def estimate_cut_bytes(graph: Graph, n_images: int, dtype_bytes: int = 4) -> int:
+    """Peak total size of the live-tensor cut while sweeping the graph in
+    order — the DAG rolling frontier's memory footprint."""
+    shapes = shapes_of(graph, batch=1)
+    last = _last_use(graph)
+    live: dict[str, int] = {}
+    for spec in graph.inputs:
+        if len(spec.shape) == 4:
+            live[spec.name] = int(np.prod(spec.shape[1:])) * dtype_bytes
+    peak = sum(live.values())
+    for i, l in enumerate(graph.layers):
+        for t in l.tops:
+            s = shapes.get(t)
+            if s is not None and len(s) == 4:
+                live[t] = int(np.prod(s[1:])) * dtype_bytes
+        for t in list(live):
+            if last.get(t, -1) <= i:
+                live.pop(t)
+        peak = max(peak, sum(live.values()))
+    return peak * n_images
+
+
+class RollingReplayDAG:
+    """Rolling frontier for general (residual) graphs: the state is the CUT
+    of tensors still needed by later layers (for ResNet: the block input
+    riding the shortcut plus the current branch tensor). Same O(L) total
+    conv work as the chain version; same API (advance_to / patches_at /
+    features_at)."""
+
+    def __init__(self, graph: Graph, inputs: np.ndarray,
+                 compute_dtype: str | None = None, group_batches: int = 10):
+        from channel_pruning_tpu.sampling.sampler import _dtype_of
+
+        self.graph = graph
+        self.batch_size = inputs.shape[1]
+        n_batches = inputs.shape[0]
+        step = min(group_batches, n_batches)
+        while n_batches % step:
+            step -= 1
+        self.group_batches = step
+        self.n_groups = n_batches // step
+        self.n_images = n_batches * self.batch_size
+        flat = inputs.reshape((-1,) + inputs.shape[2:])
+        gi = step * self.batch_size
+        in_name = graph.inputs[0].name
+        # state: {tensor: [group arrays]}
+        self.state: dict[str, list[jax.Array]] = {
+            in_name: [jnp.asarray(flat[i:i + gi])
+                      for i in range(0, flat.shape[0], gi)]}
+        self.pos = -1                      # index of last executed layer
+        self.last = _last_use(graph)
+        self.cd = _dtype_of(compute_dtype)
+        self._seg_cache: dict = {}
+
+    def _segment(self, target_idx: int):
+        """Jitted fn(params, state_dict) -> new state_dict executing layers
+        (pos, target_idx]."""
+        key = (self.pos, target_idx, tuple(sorted(self.state)))
+        fn = self._seg_cache.get(key)
+        if fn is not None:
+            return fn
+        graph, pos, last, cd = self.graph, self.pos, self.last, self.cd
+        keep_after = target_idx
+
+        @jax.jit
+        def fn(params, state):
+            env = {t: jnp.transpose(v, (0, 2, 3, 1)) for t, v in state.items()}
+            for l in graph.layers[pos + 1:target_idx + 1]:
+                if not all(b in env for b in l.bottoms):
+                    continue
+                compute_layer(l, env, params, compute_dtype=cd)
+            out = {}
+            for t, v in env.items():
+                if last.get(t, -1) > keep_after or \
+                        t in graph.layers[target_idx].tops:
+                    out[t] = jnp.transpose(v, (0, 3, 1, 2))
+            return out
+
+        self._seg_cache[key] = fn
+        return fn
+
+    def advance_to(self, params, tensor: str) -> None:
+        """Execute layers forward until `tensor` is produced; keep the live
+        cut."""
+        if tensor in self.state:
+            return
+        prod = self.graph.producer(tensor)
+        target_idx = self.graph.index(prod.name)
+        if target_idx <= self.pos:
+            raise ValueError(f"cannot rewind frontier to {tensor}")
+        fn = self._segment(target_idx)
+        new_state: dict[str, list[jax.Array]] = {}
+        for gi in range(self.n_groups):
+            res = fn(params, {t: v[gi] for t, v in self.state.items()})
+            for t, a in res.items():
+                new_state.setdefault(t, []).append(a)
+        self.state = new_state
+        self.pos = target_idx
+
+    def patches_at(self, plan, conv: str) -> np.ndarray:
+        l = self.graph.layer(conv)
+        bottom = l.bottoms[0]
+        assert bottom in self.state, (bottom, sorted(self.state))
+        geo = l.conv_geometry()
+        ys_all, xs_all = plan[l.tops[0]]
+        kern = ((geo["kh"], geo["kw"]), (geo["sh"], geo["sw"]),
+                (geo["ph"], geo["pw"]))
+        bs = self.batch_size
+
+        @jax.jit
+        def gather(a, yy, xx):
+            ag = a.reshape((-1, bs) + a.shape[1:])
+            out = jax.vmap(lambda v, y, x: gather_patches_at_points(
+                v, y, x, *kern))(ag, yy, xx)
+            return out.reshape((-1,) + out.shape[2:])
+
+        outs = []
+        for gi, g in enumerate(self.state[bottom]):
+            lo = gi * self.group_batches
+            hi = lo + self.group_batches
+            outs.append(np.asarray(gather(g, jnp.asarray(ys_all[lo:hi]),
+                                          jnp.asarray(xs_all[lo:hi]))))
+        return np.concatenate(outs, axis=0)
+
+    def features_at(self, params, plan, tensor: str) -> np.ndarray:
+        """Sampled responses of `tensor`: directly from the cut when alive,
+        otherwise computed forward from the cut (state unchanged)."""
+        ys_all, xs_all = plan[tensor]
+        bs = self.batch_size
+
+        @jax.jit
+        def gather(v, yy, xx):
+            vg = v.reshape((-1, bs) + v.shape[1:])
+            rows = jax.vmap(gather_channels_at_points)(vg, yy, xx)
+            return rows.reshape(-1, rows.shape[-1])
+
+        if tensor in self.state:
+            groups = self.state[tensor]
+        else:
+            prod = self.graph.producer(tensor)
+            target_idx = self.graph.index(prod.name)
+            key = ("feat", self.pos, target_idx, tuple(sorted(self.state)))
+            seg = self._seg_cache.get(key)
+            if seg is None:
+                graph, pos, cd = self.graph, self.pos, self.cd
+
+                @jax.jit
+                def seg(params, state):
+                    env = {t: jnp.transpose(v, (0, 2, 3, 1))
+                           for t, v in state.items()}
+                    for l in graph.layers[pos + 1:target_idx + 1]:
+                        if not all(b in env for b in l.bottoms):
+                            continue
+                        compute_layer(l, env, params, compute_dtype=cd)
+                    return jnp.transpose(env[tensor], (0, 3, 1, 2))
+
+                self._seg_cache[key] = seg
+            groups = [seg(params, {t: v[gi] for t, v in self.state.items()})
+                      for gi in range(self.n_groups)]
+        outs = []
+        for gi, g in enumerate(groups):
+            lo = gi * self.group_batches
+            hi = lo + self.group_batches
+            outs.append(np.asarray(gather(g, jnp.asarray(ys_all[lo:hi]),
+                                          jnp.asarray(xs_all[lo:hi]))))
+        return np.concatenate(outs, axis=0)
