@@ -72,8 +72,13 @@ def vh_decompose(W: jax.Array, rank: int, X: jax.Array | None = None,
     horizontal factor + bias are refit with the ReLU-aware ALS
     (decompose.py:85-147)."""
     n, c, kh, kw = W.shape
-    M = jnp.transpose(W, (1, 2, 0, 3)).reshape(c * kh, n * kw)
-    U, s, Vt = jnp.linalg.svd(M, full_matrices=False)
+    M = np.asarray(W, np.float64).transpose(1, 2, 0, 3).reshape(c * kh, n * kw)
+    # SVD on host in f64 (the reference pins scipy gesvd, decompose.py:155;
+    # device SVD kernels also fault on some shapes through the axon stack)
+    U, s, Vt = np.linalg.svd(M, full_matrices=False)
+    U = jnp.asarray(U, jnp.float32)
+    s = jnp.asarray(s, jnp.float32)
+    Vt = jnp.asarray(Vt, jnp.float32)
     Uk = U[:, :rank]                       # (c*kh, rank)
     Hk = s[:rank, None] * Vt[:rank]        # (rank, n*kw)
 
@@ -109,10 +114,27 @@ class ITQResult(NamedTuple):
     W12: jax.Array   # merged low-rank producer (for asymmetric overwrite)
 
 
+def _host_eigh(A: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """eigh via a host callback in f64: the (d x d) eigendecompositions in
+    the ITQ loop are tiny (ms on host) but TPU eigh kernels fault on some
+    shapes through the axon stack, and the reference ran these in f64 numpy
+    anyway (lib/decompose.py)."""
+    def cb(x):
+        w, v = np.linalg.eigh(np.asarray(x, np.float64))
+        return w.astype(np.float32), v.astype(np.float32)
+
+    d = A.shape[-1]
+    return jax.pure_callback(
+        cb,
+        (jax.ShapeDtypeStruct(A.shape[:-1], jnp.float32),
+         jax.ShapeDtypeStruct(A.shape, jnp.float32)),
+        A)
+
+
 def _pinv_psd(A: jax.Array, rcond: float = 1e-6) -> jax.Array:
     """Pseudo-inverse of a PSD matrix via eigh (scipy.linalg.pinv(x, 1e-6)
     analogue, decompose.py:149-152)."""
-    w, v = jnp.linalg.eigh(A)
+    w, v = _host_eigh(A)
     cutoff = rcond * jnp.max(jnp.abs(w))
     inv_w = jnp.where(w > cutoff, 1.0 / w, 0.0)
     return (v * inv_w) @ v.T
@@ -146,7 +168,7 @@ def _itq_solve_T(feature: jax.Array, gt_feature: jax.Array, rank: int,
         M = PG @ S
         XtX = M.T @ GtG @ M
         XtX = 0.5 * (XtX + XtX.T)
-        w, v = jnp.linalg.eigh(XtX)
+        w, v = _host_eigh(XtX)
         Vk = v[:, -rank:]                         # top-k right singular vecs
         T = M @ Vk @ Vk.T                         # = PGGt · trunc_k(G M)
         RU = G @ T + U_mean
@@ -187,9 +209,11 @@ def itq_decompose(feature: np.ndarray | jax.Array, gt_feature, weight, rank: int
     T, Y_mean, U_mean = _itq_solve_T(feature, gt_feature, rank, tuple(lambdas),
                                      tuple(iters))
 
-    L, s, Rt = jnp.linalg.svd(T, full_matrices=False)
-    L = L[:, :rank]                                # (d, rank)
-    R = s[:rank, None] * Rt[:rank]                 # (rank, d)
+    # final factor split on host in f64 (device SVD avoided, see _host_eigh)
+    L64, s64, Rt64 = np.linalg.svd(np.asarray(T, np.float64),
+                                   full_matrices=False)
+    L = jnp.asarray(L64[:, :rank], jnp.float32)            # (d, rank)
+    R = jnp.asarray(s64[:rank, None] * Rt64[:rank], jnp.float32)  # (rank, d)
 
     def fold_left(Wfull):
         # (d, a, b, c) -> contract output channels with L -> (rank, a, b, c)
