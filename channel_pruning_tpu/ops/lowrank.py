@@ -114,78 +114,78 @@ class ITQResult(NamedTuple):
     W12: jax.Array   # merged low-rank producer (for asymmetric overwrite)
 
 
-def _host_eigh(A: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """eigh via a host callback in f64: the (d x d) eigendecompositions in
-    the ITQ loop are tiny (ms on host) but TPU eigh kernels fault on some
-    shapes through the axon stack, and the reference ran these in f64 numpy
-    anyway (lib/decompose.py)."""
-    def cb(x):
-        w, v = np.linalg.eigh(np.asarray(x, np.float64))
-        return w.astype(np.float32), v.astype(np.float32)
-
-    d = A.shape[-1]
-    return jax.pure_callback(
-        cb,
-        (jax.ShapeDtypeStruct(A.shape[:-1], jnp.float32),
-         jax.ShapeDtypeStruct(A.shape, jnp.float32)),
-        A)
+def _host_eigh(A) -> tuple[np.ndarray, np.ndarray]:
+    """eigh on host in f64: the (d x d) eigendecompositions in the ITQ loop
+    are tiny (ms on host) but TPU eigh kernels fault on some shapes through
+    the axon stack (which also lacks callback support), and the reference
+    ran these in f64 numpy anyway (lib/decompose.py)."""
+    w, v = np.linalg.eigh(np.asarray(A, np.float64))
+    return w.astype(np.float32), v.astype(np.float32)
 
 
-def _pinv_psd(A: jax.Array, rcond: float = 1e-6) -> jax.Array:
-    """Pseudo-inverse of a PSD matrix via eigh (scipy.linalg.pinv(x, 1e-6)
+def _pinv_psd(A, rcond: float = 1e-6) -> np.ndarray:
+    """Pseudo-inverse of a PSD matrix via host eigh (scipy.linalg.pinv
     analogue, decompose.py:149-152)."""
     w, v = _host_eigh(A)
-    cutoff = rcond * jnp.max(jnp.abs(w))
-    inv_w = jnp.where(w > cutoff, 1.0 / w, 0.0)
+    cutoff = rcond * np.max(np.abs(w))
+    inv_w = np.where(w > cutoff, 1.0 / w, 0.0).astype(np.float32)
     return (v * inv_w) @ v.T
 
 
-@functools.partial(jax.jit, static_argnames=("rank", "lambdas", "iters"))
-def _itq_solve_T(feature: jax.Array, gt_feature: jax.Array, rank: int,
-                 lambdas: tuple[float, ...], iters: tuple[int, ...]
-                 ) -> tuple[jax.Array, jax.Array, jax.Array]:
+@jax.jit
+def _itq_moments(feature: jax.Array):
+    Y_mean = jnp.mean(feature, axis=0)
+    G = feature - Y_mean
+    GtG = G.T @ G
+    return Y_mean, G, 0.5 * (GtG + GtG.T)
+
+
+@jax.jit
+def _itq_step_a(G: jax.Array, GtG: jax.Array, PG: jax.Array, UU: jax.Array):
+    """Device half-step: M = PG Gᵀ UU and the (d x d) projected Gram whose
+    top-k eigenvectors give the rank truncation."""
+    S = G.T @ UU                                  # (d, d) MXU over N
+    M = PG @ S
+    XtX = M.T @ GtG @ M
+    return M, 0.5 * (XtX + XtX.T)
+
+
+@jax.jit
+def _itq_step_b(G: jax.Array, M: jax.Array, Vk: jax.Array, U_mean: jax.Array,
+                Z: jax.Array, lam: jax.Array):
+    """Device half-step: apply the truncation and the closed-form ReLU
+    regression (decompose.py:204-247)."""
+    T = M @ Vk @ Vk.T                             # = PGGᵀ · trunc_k(G M)
+    RU = G @ T + U_mean
+    U = lstsq.solve_relu(RU, Z, lam)
+    U_mean2 = jnp.mean(U, axis=0)
+    return T, U - U_mean2, U_mean2
+
+
+def _itq_solve_T(feature, gt_feature, rank: int,
+                 lambdas: tuple[float, ...], iters: tuple[int, ...]):
     """Core ITQ alternating solve. Returns (T, Y_mean, U_mean).
 
     feature: (N, d) current responses; gt_feature: (N, d) ground truth.
     Alternates (a) rank-k projection of the ridge solution U ≈ G T with
-    (b) the closed-form ReLU regression (decompose.py:204-247). The rank-k
-    truncation of X = G M uses eigh of the d x d matrix Mᵀ(GᵀG)M — the top-k
-    right singular vectors of X — so no N-sized SVD appears in the loop.
+    (b) the closed-form ReLU regression (decompose.py:204-247). The N-sized
+    matmuls run on device; the tiny (d x d) eigendecompositions run on host
+    in f64 (no N-sized SVD anywhere in the loop).
     """
-    Z = jnp.maximum(gt_feature, 0.0)
-    Y_mean = jnp.mean(feature, axis=0)
-    G = feature - Y_mean                          # (N, d)
-    GtG = G.T @ G
-    GtG = 0.5 * (GtG + GtG.T)
-    PG = _pinv_psd(GtG)
+    feature = jnp.asarray(feature, jnp.float32)
+    Z = jnp.maximum(jnp.asarray(gt_feature, jnp.float32), 0.0)
+    Y_mean, G, GtG = _itq_moments(feature)
+    PG = jnp.asarray(_pinv_psd(GtG))
 
-    U_mean0 = Y_mean
-    UU0 = G
-
-    def iteration(carry, lam):
-        UU, U_mean = carry
-        S = G.T @ UU                              # (d, d) MXU over N
-        M = PG @ S
-        XtX = M.T @ GtG @ M
-        XtX = 0.5 * (XtX + XtX.T)
-        w, v = _host_eigh(XtX)
-        Vk = v[:, -rank:]                         # top-k right singular vecs
-        T = M @ Vk @ Vk.T                         # = PGGt · trunc_k(G M)
-        RU = G @ T + U_mean
-        U = lstsq.solve_relu(RU, Z, lam)
-        U_mean = jnp.mean(U, axis=0)
-        return (U - U_mean, U_mean), T
-
-    carry = (UU0, U_mean0)
+    UU, U_mean = G, Y_mean
     T = None
     for lam, n_it in zip(lambdas, iters):
-        def body(_, c):
-            c2, _t = iteration(c, lam)
-            return c2
-        # need T from the last iteration: unroll final step explicitly
-        carry = jax.lax.fori_loop(0, n_it - 1, body, carry)
-        carry, T = iteration(carry, lam)
-    _, U_mean = carry
+        lam = jnp.float32(lam)
+        for _ in range(n_it):
+            M, XtX = _itq_step_a(G, GtG, PG, UU)
+            _, v = _host_eigh(XtX)
+            Vk = jnp.asarray(v[:, -rank:])        # top-k right singular vecs
+            T, UU, U_mean = _itq_step_b(G, M, Vk, U_mean, Z, lam)
     return T, Y_mean, U_mean
 
 
