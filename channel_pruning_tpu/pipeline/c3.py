@@ -434,9 +434,16 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             reports.append(LayerReport(conv=conv, rank=rank,
                                        seconds=timer.toc()))
             continue
-        vh = lowrank.vh_decompose(W_cur, rank, X=X, Y=Ygt,
-                                  lambdas=cfg.solve.nonlinear_lambdas,
-                                  iters=cfg.solve.nonlinear_iters)
+        try:
+            vh = lowrank.vh_decompose(W_cur, rank, X=X, Y=Ygt,
+                                      lambdas=cfg.solve.nonlinear_lambdas,
+                                      iters=cfg.solve.nonlinear_iters)
+        except np.linalg.LinAlgError as exc:
+            print(f"[3c] {conv}: spatial decomposition failed ({exc}) — "
+                  "layer kept undecomposed")
+            reports.append(LayerReport(conv=conv, rank=rank,
+                                       seconds=timer.toc()))
+            continue
         if not _epscheck(vh.VHr, vh.b, vh.V, vh.H):
             print(f"[3c] {conv}: spatial factors rejected by epscheck — "
                   "layer kept undecomposed")
@@ -458,12 +465,16 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                                             chunk_batches=chunk,
                                             compute_dtype=cdt)[top]
         if _epscheck(feat, warn=1e5, reject=1e6):
-            itq = lowrank.itq_decompose(feat, Ygt, np.asarray(vh.H), rank,
-                                        bias=np.asarray(vh.b),
-                                        Wr=np.asarray(vh.VHr),
-                                        lambdas=cfg.solve.itq_lambdas,
-                                        iters=cfg.solve.itq_iters)
-            itq_ok = _epscheck(itq.W1, itq.W2, itq.B, itq.W12)
+            try:
+                itq = lowrank.itq_decompose(feat, Ygt, np.asarray(vh.H), rank,
+                                            bias=np.asarray(vh.b),
+                                            Wr=np.asarray(vh.VHr),
+                                            lambdas=cfg.solve.itq_lambdas,
+                                            iters=cfg.solve.itq_iters)
+                itq_ok = _epscheck(itq.W1, itq.W2, itq.B, itq.W12)
+            except np.linalg.LinAlgError as exc:
+                print(f"[3c] {conv}: ITQ solve failed ({exc})")
+                itq, itq_ok = None, False
         else:
             itq, itq_ok = None, False
         if itq_ok:
