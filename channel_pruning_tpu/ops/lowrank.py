@@ -179,13 +179,28 @@ def _itq_solve_T(feature, gt_feature, rank: int,
 
     UU, U_mean = G, Y_mean
     T = None
+    last_good = None                              # (T, Y_mean, U_mean)
+    it_count = 0
     for lam, n_it in zip(lambdas, iters):
         lam = jnp.float32(lam)
         for _ in range(n_it):
             M, XtX = _itq_step_a(G, GtG, PG, UU)
-            _, v = _host_eigh(XtX)
+            XtX_h = np.asarray(XtX)
+            if not np.isfinite(XtX_h).all():
+                # ALS diverged: salvage the last finite iterate (the
+                # reference would emit garbage here and rely on epscheck
+                # prints, decompose.py:158-161; we stop at the divergence)
+                if last_good is not None:
+                    return last_good
+                raise np.linalg.LinAlgError("ITQ ALS diverged at iteration "
+                                            f"{it_count}")
+            _, v = _host_eigh(XtX_h)
             Vk = jnp.asarray(v[:, -rank:])        # top-k right singular vecs
             T, UU, U_mean = _itq_step_b(G, M, Vk, U_mean, Z, lam)
+            it_count += 1
+            if it_count % 5 == 0:
+                if np.isfinite(np.asarray(U_mean)).all():
+                    last_good = (T, Y_mean, U_mean)
     return T, Y_mean, U_mean
 
 
