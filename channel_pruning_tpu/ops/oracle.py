@@ -97,3 +97,21 @@ def itq_reference(feature, gt_feature, rank, lambdas=(0.1, 1.0), iters=(30, 20))
 def conv_response_at_points(Xp, W2):
     """Y[n, o] = sum_{c,kh,kw} Xp[n,c,kh,kw] * W2[o,c,kh,kw]."""
     return np.einsum("nchw,ochw->no", Xp, W2)
+
+
+def pca_rank_probe(X, energy=0.95):
+    """PCA-based rank probe: smallest k capturing `energy` of the variance
+    (capability parity with the reference's pca/YYT helpers,
+    decompose.py:34-79, used to pick decomposition ranks from data)."""
+    Xc = X - X.mean(0)
+    s = np.linalg.svd(Xc, compute_uv=False)
+    e = np.cumsum(s ** 2)
+    return int(np.searchsorted(e / e[-1], energy) + 1)
+
+
+def yyt_spectrum(Y):
+    """Eigen-spectrum of the response Gram YYᵀ-style probe (decompose.py
+    YYT): descending eigenvalues of YᵀY / N."""
+    G = Y.T @ Y / Y.shape[0]
+    w = np.linalg.eigvalsh(0.5 * (G + G.T))
+    return w[::-1]

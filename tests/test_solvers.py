@@ -272,3 +272,12 @@ def test_group_search_alpha_band(rng):
     mask, alpha, support = lasso.search_alpha_group(gram, 10, 0.1)
     assert 10 <= support <= 10 + 2
     assert mask.sum() == support
+
+
+def test_rank_probes(rng):
+    X = rng.normal(size=(500, 10)) @ rng.normal(size=(10, 64))
+    X = X.astype(np.float32)
+    k = oracle.pca_rank_probe(X, 0.99)
+    assert k <= 12
+    w = oracle.yyt_spectrum(X)
+    assert w[0] >= w[-1] and (w[10:] < w[0] * 1e-3).all()
