@@ -119,7 +119,9 @@ def cmd_prune(args):
             ranks = {c: max(1, int(graph.layer(c).attr("num_output") * 2
                                    // int(args.speed)))
                      for c in graph.convs[1:]}
-        res = c3.solve_3c(graph, params, cache, cfg, ranks)
+        from channel_pruning_tpu.pipeline.checkpoint import SolveCheckpoint
+        ck = SolveCheckpoint(wd / "solve_state_3c.pkl", every=1)
+        res = c3.solve_3c(graph, params, cache, cfg, ranks, checkpoint=ck)
     else:
         input_targets = None
         if args.channels:
@@ -131,9 +133,12 @@ def cmd_prune(args):
             targets, input_targets = resnet50_2x_targets()
         else:
             targets = c3.prune_targets_from_ratio(graph, args.speed)
+        from channel_pruning_tpu.pipeline.checkpoint import SolveCheckpoint
+        ck = SolveCheckpoint(wd / "solve_state_cp.pkl", every=3)
         res = c3.solve_prune(graph, params, cache, cfg,
                              channel_targets=targets,
-                             input_targets=input_targets)
+                             input_targets=input_targets,
+                             checkpoint=ck)
 
     dt = time.perf_counter() - t0
     print(res.summary())

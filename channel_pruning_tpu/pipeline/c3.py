@@ -177,6 +177,7 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                 channel_targets: Mapping[str, int] | None = None,
                 input_targets: Mapping[str, int] | None = None,
                 residual_compensate: bool = True,
+                checkpoint=None,
                 verbose: bool = True) -> SolveResult:
     """Sequential whole-model channel pruning (reference R3's pruning arm,
     per-layer loop net.py:1406-1459).
@@ -202,6 +203,15 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
     p_out = {k: dict(v) for k, v in params.items()}
     reports: list[LayerReport] = []
     selections: dict[str, np.ndarray] = {}
+    resume_i = -1
+    if checkpoint is not None:
+        snap = checkpoint.load()
+        if snap is not None:
+            resume_i, st = snap
+            p_run, g_out, p_out = st["p_run"], st["g_out"], st["p_out"]
+            selections = st["selections"]
+            reports = st["reports"]
+            print(f"[resume] solve_prune continuing after layer {resume_i}")
     chunk = max(cfg.sample.device_batch // cache.batch_size, 1)
     cdt = None if cfg.solve.dtype == "float32" else cfg.solve.dtype
     # device-resident running params, updated INCREMENTALLY per layer —
@@ -212,6 +222,8 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
 
     convs = list(g_run.convs)
     for i, consumer in enumerate(convs):
+        if i <= resume_i:
+            continue
         bottom = g_run.layer(consumer).bottoms[0]
         producer = prune_mod.producer_conv(g_run, bottom, before=consumer)
         target = None
@@ -289,6 +301,14 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             kind = "gate" if gate_only else "prune"
             print(f"[{kind}] {consumer}: keep {int(res.keep.sum())}/{n_in} "
                   f"rMSE {res.rmse_before:.4f}->{res.rmse_after:.4f} ({dt:.2f}s)")
+        if checkpoint is not None:
+            checkpoint.maybe_save(i, {"p_run": p_run, "g_out": g_out,
+                                      "p_out": p_out,
+                                      "selections": selections,
+                                      "reports": reports})
+
+    if checkpoint is not None:
+        checkpoint.clear()
 
     # ---- FC consumers (dic.fitfc path, lib/cfgs.py:73): prune the last
     # conv's output channels via the first FC layer's inputs ----------------
@@ -368,6 +388,7 @@ def ranks_for_speed(base_ranks: Mapping[str, int], speed_ratio: float,
 def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
              cache: sampling.FrozenCache, cfg: Config,
              ranks: Mapping[str, int], skip: tuple[str, ...] = ("conv1_1",),
+             checkpoint=None,
              verbose: bool = True) -> SolveResult:
     """The R3 whole-model 3C pass (lib/net.py:1292-1471).
 
@@ -393,6 +414,16 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
     # input-keep masks recorded by the pruning arm, consumed when the conv is
     # itself decomposed (V input channels sliced)
     input_keep: dict[str, np.ndarray] = {}
+    resume_i = -1
+    if checkpoint is not None:
+        snap = checkpoint.load()
+        if snap is not None:
+            resume_i, st = snap
+            p_run, g_out, p_out = st["p_run"], st["g_out"], st["p_out"]
+            selections = st["selections"]
+            input_keep = st["input_keep"]
+            reports = st["reports"]
+            print(f"[resume] solve_3c continuing after layer {resume_i}")
 
     convs = list(g_run.convs)
     chunk = max(cfg.sample.device_batch // cache.batch_size, 1)
@@ -406,6 +437,8 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         dev_run[name] = {k: jnp.asarray(v) for k, v in p_run[name].items()}
 
     for i, conv in enumerate(convs):
+        if i <= resume_i:
+            continue
         if conv in skip or conv not in ranks:
             continue
         rank = int(ranks[conv])
@@ -563,7 +596,15 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                       f"{res.rmse_before:.4f}->{res.rmse_after:.4f}")
         elif verbose:
             print(f"[3c] {conv}: rank {rank}")
+        if checkpoint is not None:
+            checkpoint.maybe_save(i, {"p_run": p_run, "g_out": g_out,
+                                      "p_out": p_out,
+                                      "selections": selections,
+                                      "input_keep": input_keep,
+                                      "reports": reports})
 
+    if checkpoint is not None:
+        checkpoint.clear()
     g_out.validate()
     return SolveResult(graph=g_out, params=p_out, reports=reports,
                        selections=selections)

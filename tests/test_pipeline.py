@@ -160,3 +160,46 @@ def test_fitfc_prunes_last_conv(setup):
     assert res.params[fc]["W"].shape[1] == keep.sum() * hw
     p = _final_probs(res.graph, res.params, inputs[0])
     np.testing.assert_allclose(p.sum(-1), 1.0, rtol=1e-4)
+
+
+def test_solve_checkpoint_resume(setup, tmp_path):
+    """A solve killed mid-pass must resume from the last snapshot and yield
+    the exact same result as an uninterrupted run."""
+    from channel_pruning_tpu.pipeline import prune as P
+    from channel_pruning_tpu.pipeline.checkpoint import SolveCheckpoint
+
+    g, params, inputs, cfg, cache = setup
+    targets = {"conv1_1": 5, "conv1_2": 6, "conv2_1": 8, "conv2_2": 9,
+               "conv3_1": 10}
+    ref = c3.solve_prune(g, params, cache, cfg, channel_targets=targets,
+                         verbose=False)
+
+    ck = SolveCheckpoint(tmp_path / "state.pkl", every=1)
+    orig = P.select_and_reconstruct
+    calls = {"n": 0}
+
+    def crashing(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("simulated TPU worker crash")
+        return orig(*a, **k)
+
+    P.select_and_reconstruct = crashing
+    try:
+        with pytest.raises(RuntimeError):
+            c3.solve_prune(g, params, cache, cfg, channel_targets=targets,
+                           checkpoint=ck, verbose=False)
+    finally:
+        P.select_and_reconstruct = orig
+    assert (tmp_path / "state.pkl").exists()
+
+    resumed = c3.solve_prune(g, params, cache, cfg, channel_targets=targets,
+                             checkpoint=ck, verbose=False)
+    assert not (tmp_path / "state.pkl").exists()   # cleared on success
+    assert set(resumed.selections) == set(ref.selections)
+    for k in ref.selections:
+        np.testing.assert_array_equal(resumed.selections[k],
+                                      ref.selections[k])
+    for k, v in ref.params.items():
+        np.testing.assert_allclose(np.asarray(resumed.params[k]["W"]),
+                                   np.asarray(v["W"]), rtol=1e-5)
