@@ -490,13 +490,12 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
 
         # ---- (b) channel decomposition (ITQ) --------------------------
         timer.tic()
-        if roll is not None:
-            feat = roll.features_at(dev_run, cache.plan, top)
-        else:
-            feat = sampling.sample_features(g_run, dev_run, cache.inputs,
-                                            cache.plan, (top,),
-                                            chunk_batches=chunk,
-                                            compute_dtype=cdt)[top]
+        # the post-VH responses at the sampled points are exactly the
+        # already-extracted patches convolved with VHr — no replay needed
+        # (the reference re-runs a 500-batch extraction here, net.py:1386)
+        feat = np.asarray(
+            jnp.einsum("nchw,ochw->no", jnp.asarray(X, jnp.float32),
+                       jnp.asarray(vh.VHr)) + jnp.asarray(vh.b))
         if _epscheck(feat, warn=1e5, reject=1e6):
             try:
                 itq = lowrank.itq_decompose(feat, Ygt, np.asarray(vh.H), rank,
