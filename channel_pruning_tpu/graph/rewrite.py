@@ -343,10 +343,9 @@ def combine_hp(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]]
     params = _copy_params(params)
     g = graph
     hs = [c for c in g.convs if c.endswith("_H")]
-    ps = [c for c in g.convs if c.endswith("_P")]
-    assert len(hs) == len(ps), f"unpaired H/P convs: {hs} vs {ps}"
-    for h, p in zip(hs, ps):
-        assert h[:-2] == p[:-2], f"mismatched pair {h} {p}"
+    # pair by prefix: layers whose ITQ stage was rejected are VH-only (no P)
+    pairs = [(h, f"{h[:-2]}_P") for h in hs if g.has_layer(f"{h[:-2]}_P")]
+    for h, p in pairs:
         Hw = np.asarray(params[h]["W"])
         Pw = np.asarray(params[p]["W"])
         m, o = Hw.shape[0], Pw.shape[0]
