@@ -120,6 +120,8 @@ def _host_eigh(A) -> tuple[np.ndarray, np.ndarray]:
     the axon stack (which also lacks callback support), and the reference
     ran these in f64 numpy anyway (lib/decompose.py)."""
     w, v = np.linalg.eigh(np.asarray(A, np.float64))
+    f32max = np.finfo(np.float32).max
+    w = np.clip(w, -f32max, f32max)   # huge eigenvalues of diverging iterates
     return w.astype(np.float32), v.astype(np.float32)
 
 
