@@ -41,14 +41,19 @@ def time_forward(graph, params, batch: int | None = None, iters: int = 20,
     dev = to_device_params(params)
     fwd = build_forward(graph)
     input_name = graph.inputs[0].name
-    for _ in range(warmup):
+
+    def run_once():
         outs, _ = fwd(dev, {input_name: x})
-        jax.tree_util.tree_map(lambda a: a.block_until_ready(), outs)
+        # scalar host fetch: the only reliable execution fence through the
+        # axon relay (block_until_ready returns before remote completion)
+        return float(sum(o.sum() for o in outs.values()))
+
+    for _ in range(warmup):
+        run_once()
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        outs, _ = fwd(dev, {input_name: x})
-        jax.tree_util.tree_map(lambda a: a.block_until_ready(), outs)
+        run_once()
         times.append(time.perf_counter() - t0)
     times = np.asarray(times)
     return {

@@ -281,3 +281,30 @@ def test_rank_probes(rng):
     assert k <= 12
     w = oracle.yyt_spectrum(X)
     assert w[0] >= w[-1] and (w[10:] < w[0] * 1e-3).all()
+
+
+def test_full_solve_selection_agreement_with_reference_algorithm(rng):
+    """End-to-end per-layer solve vs a complete implementation of the
+    reference's dictionary algorithm (sklearn Lasso bisection + lstsq,
+    decompose.py:386-634): channel selections must agree on the vast
+    majority of channels (north star: 'selections match within numerical
+    tolerance')."""
+    from bench import make_problem, sklearn_solve
+    from channel_pruning_tpu.pipeline.prune import select_and_reconstruct
+
+    X, W2, Y, rank = make_problem(seed=1, N=4000, c=64, n=96, k=3, rank=38)
+    res = select_and_reconstruct(X, W2, Y, rank, seed=0)
+    _, sk_kept, sk_err = sklearn_solve(X, W2, Y, rank)
+    # recompute the sklearn mask for overlap measurement
+    from sklearn.linear_model import Lasso
+    N, c = X.shape[0], X.shape[1]
+    rows = np.random.default_rng(0).integers(0, N, size=400)
+    Z = np.einsum("nchw,ochw->noc", X[rows], W2).reshape(400 * W2.shape[0], c)
+    y = Y[rows].reshape(-1)
+    solver = Lasso(alpha=res.alpha, tol=1e-7, max_iter=3000)
+    solver.fit(Z, y)
+    sk_mask = solver.coef_ != 0
+    agree = (res.keep == sk_mask).mean()
+    assert agree > 0.85, f"selection agreement {agree}"
+    # reconstruction quality comparable to the reference path
+    assert res.rmse_after < max(2.0 * sk_err, 0.3), (res.rmse_after, sk_err)
