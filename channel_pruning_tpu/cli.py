@@ -31,7 +31,10 @@ def _load_model(args):
         if not params:
             params = init_params(g, seed=0)
         return g, params
-    g = zoo.get_model(args.model, batch=args.batch)
+    kw = {"batch": args.batch}
+    if getattr(args, "image_size", None):
+        kw["image_size"] = args.image_size
+    g = zoo.get_model(args.model, **kw)
     params = init_params(g, seed=0)
     if args.weights:
         from channel_pruning_tpu.io.caffe import load_weights
@@ -287,6 +290,7 @@ def main(argv=None):
         p.add_argument("--prototxt", default=None)
         p.add_argument("--weights", default=None)
         p.add_argument("--batch", type=int, default=10)
+        p.add_argument("--image-size", type=int, default=None)
         p.add_argument("--work-dir", default="work")
         p.add_argument("--data-dir", default=None)
         p.add_argument("--seed", type=int, default=0)
