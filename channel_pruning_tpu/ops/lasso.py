@@ -124,15 +124,19 @@ def _solve_grid(G: jax.Array, b: jax.Array, alphas_n: jax.Array,
     """Dispatch the alpha-grid CD solve: fused Pallas kernel on TPU
     (kernels/lasso_cd.py), pure-XLA fallback elsewhere.
 
-    The Pallas kernel pins the whole (c x c) Gram in VMEM; beyond c=1024
-    (4 MB) the kernel plus its (8, c) state no longer fits the 16 MB VMEM
-    budget alongside double-buffering (observed scoped-vmem OOM at c=2048 on
-    ResNet-50 res5 gates), so large problems take the XLA path where G stays
-    in HBM."""
+    The VMEM-resident kernel pins the whole (c x c) Gram on-chip; beyond
+    c=1024 (4 MB) it no longer fits the 16 MB VMEM budget (observed
+    scoped-vmem OOM at c=2048 on ResNet-50 res5 gates), so large problems
+    take the HBM-streaming kernel (G rows DMA'd in double-buffered 8-row
+    blocks — ~8x faster than the XLA fallback at c=2048)."""
     from channel_pruning_tpu.kernels import lasso_cd
 
-    if lasso_cd.pallas_available() and G.shape[0] <= 1024:
-        return lasso_cd.cd_solve_grid_pallas(G, b, alphas_n, n_sweeps=n_sweeps)
+    if lasso_cd.pallas_available():
+        if G.shape[0] <= 1024:
+            return lasso_cd.cd_solve_grid_pallas(G, b, alphas_n,
+                                                 n_sweeps=n_sweeps)
+        return lasso_cd.cd_solve_grid_pallas_hbm(G, b, alphas_n,
+                                                 n_sweeps=n_sweeps)
     return cd_solve_grid(G, b, alphas_n, n_sweeps=n_sweeps)
 
 

@@ -308,3 +308,17 @@ def test_full_solve_selection_agreement_with_reference_algorithm(rng):
     assert agree > 0.85, f"selection agreement {agree}"
     # reconstruction quality comparable to the reference path
     assert res.rmse_after < max(2.0 * sk_err, 0.3), (res.rmse_after, sk_err)
+
+
+def test_pallas_hbm_cd_kernel_interpret_parity(rng):
+    """The HBM-streaming large-c CD kernel (interpret mode on CPU) must
+    match the XLA grid solver."""
+    from channel_pruning_tpu.kernels import lasso_cd
+
+    Z, y, _ = _sparse_problem(rng, n=300, c=40, k=10)
+    gram = lasso.lasso_gram(Z, y)
+    alphas = (np.geomspace(1e-3, 0.5, 8) * gram.n_samples).astype(np.float32)
+    b_x = np.asarray(lasso.cd_solve_grid(gram.G, gram.b, alphas, n_sweeps=200))
+    b_h = np.asarray(lasso_cd.cd_solve_grid_pallas_hbm(
+        gram.G, gram.b, alphas, n_sweeps=200, interpret=True))
+    np.testing.assert_allclose(b_h, b_x, rtol=1e-4, atol=1e-5)
