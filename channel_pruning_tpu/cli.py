@@ -232,7 +232,11 @@ def cmd_finetune(args):
     graph, params = _load_model(args)
     cfg = FinetuneConfig(base_lr=args.lr, batch_size=args.batch)
     import jax
-    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    # largest device count that divides the batch (DP shards the batch dim)
+    n_dev = len(jax.devices())
+    while n_dev > 1 and args.batch % n_dev:
+        n_dev -= 1
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
     if args.data_dir:
         from channel_pruning_tpu.data.pipeline import imagefolder_batches
         data = imagefolder_batches(args.data_dir, args.batch, shuffle=True,

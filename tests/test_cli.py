@@ -50,3 +50,22 @@ def test_cli_set_overrides(tmp_path):
     assert cfg.dic.keep == 2.5
     assert cfg.lasso.n_sweeps == 55
     assert cfg.sample.seed == 3
+
+
+def test_cli_full_chain_prune_addbn_finetune_eval(tmp_path):
+    """The complete reference workflow on the tiny model: prune -> addbn ->
+    finetune -> eval, all through Caffe artifacts (README.md workflow)."""
+    wd = str(tmp_path)
+    cli.main(["prune", "--model", "tiny_vgg", "--mode", "prune", "--batch", "4",
+              "--cal-batches", "4", "--cal-batch", "4", "--speed", "2.0",
+              "--work-dir", wd])
+    cli.main(["addbn", "--prototxt", f"{wd}/cp_tiny_vgg.prototxt",
+              "--weights", f"{wd}/cp_tiny_vgg.caffemodel", "--batch", "4",
+              "--cal-batches", "2", "--cal-batch", "4", "--work-dir", wd])
+    cli.main(["finetune", "--prototxt", f"{wd}/bn_tiny_vgg.prototxt",
+              "--weights", f"{wd}/bn_tiny_vgg.caffemodel", "--batch", "4",
+              "--steps", "3", "--lr", "1e-3", "--work-dir", wd])
+    res = cli.main(["eval", "--prototxt", f"{wd}/ft_bn_tiny_vgg.prototxt",
+                    "--weights", f"{wd}/ft_bn_tiny_vgg.caffemodel",
+                    "--batch", "4", "--eval-batches", "2", "--work-dir", wd])
+    assert res["n_images"] == 8
