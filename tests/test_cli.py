@@ -65,7 +65,8 @@ def test_cli_full_chain_prune_addbn_finetune_eval(tmp_path):
     cli.main(["finetune", "--prototxt", f"{wd}/bn_tiny_vgg.prototxt",
               "--weights", f"{wd}/bn_tiny_vgg.caffemodel", "--batch", "4",
               "--steps", "3", "--lr", "1e-3", "--work-dir", wd])
-    res = cli.main(["eval", "--prototxt", f"{wd}/ft_bn_tiny_vgg.prototxt",
-                    "--weights", f"{wd}/ft_bn_tiny_vgg.caffemodel",
+    # artifact names derive from the graph's internal name ("tiny_vgg")
+    res = cli.main(["eval", "--prototxt", f"{wd}/ft_tiny_vgg.prototxt",
+                    "--weights", f"{wd}/ft_tiny_vgg.caffemodel",
                     "--batch", "4", "--eval-batches", "2", "--work-dir", wd])
     assert res["n_images"] == 8
