@@ -281,6 +281,7 @@ def cmd_eval(args):
     res = ev.evaluate(graph, params, data, max_batches=args.eval_batches,
                       verbose=True)
     print(json.dumps(res))
+    return res
 
 
 def main(argv=None):
