@@ -126,9 +126,11 @@ class RollingReplay:
         for gi, g in enumerate(self.groups):
             lo = gi * self.group_batches
             hi = lo + self.group_batches
-            outs.append(np.asarray(gather(g, jnp.asarray(ys_all[lo:hi]),
-                                          jnp.asarray(xs_all[lo:hi]))))
-        return np.concatenate(outs, axis=0)
+            outs.append(gather(g, jnp.asarray(ys_all[lo:hi]),
+                               jnp.asarray(xs_all[lo:hi])))
+        # stays device-resident: the solvers consume it on device, and a
+        # 92 MB host round-trip per layer costs ~2 s over the tunnel
+        return jnp.concatenate(outs, axis=0)
 
     def features_at(self, params, plan, tensor: str) -> np.ndarray:
         """Sampled responses of `tensor` computed from the frontier (one
@@ -286,9 +288,9 @@ class RollingReplayDAG:
         for gi, g in enumerate(self.state[bottom]):
             lo = gi * self.group_batches
             hi = lo + self.group_batches
-            outs.append(np.asarray(gather(g, jnp.asarray(ys_all[lo:hi]),
-                                          jnp.asarray(xs_all[lo:hi]))))
-        return np.concatenate(outs, axis=0)
+            outs.append(gather(g, jnp.asarray(ys_all[lo:hi]),
+                               jnp.asarray(xs_all[lo:hi])))
+        return jnp.concatenate(outs, axis=0)   # device-resident (see chain)
 
     def features_at(self, params, plan, tensor: str) -> np.ndarray:
         """Sampled responses of `tensor`: directly from the cut when alive,
