@@ -13,7 +13,6 @@ from typing import Mapping
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from channel_pruning_tpu.graph.ir import Graph
 from channel_pruning_tpu.ops.forward import run_graph, to_device_params

@@ -15,7 +15,7 @@ BatchNorm, Scale, Dropout, Softmax, Accuracy, Flatten, Concat, plus `Select`
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from typing import Any, Iterable, Mapping
 
 

@@ -23,7 +23,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 try:  # pallas is TPU-only at runtime; import guarded for CPU test envs
     from jax.experimental import pallas as pl

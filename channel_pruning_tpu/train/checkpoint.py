@@ -34,8 +34,6 @@ class Checkpointer:
         return flat
 
     def save(self, state, step: int) -> Path:
-        from channel_pruning_tpu.train.finetune import TrainState
-
         path = self.dir / f"step_{step:08d}"
         if self._ocp is not None:
             ckptr = self._ocp.PyTreeCheckpointer()

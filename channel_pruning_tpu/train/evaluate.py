@@ -10,7 +10,6 @@ from typing import Iterable, Mapping
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from channel_pruning_tpu.graph.ir import Graph
 from channel_pruning_tpu.ops.forward import run_graph

@@ -11,7 +11,6 @@ over ICI (no NCCL-style code, SURVEY.md §2.3). Checkpointing via orbax.
 """
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Any, Callable, Mapping
 
