@@ -43,15 +43,46 @@ def _load_model(args):
     return g, params
 
 
+def _resize_dim(crop: int) -> int:
+    """Shorter-side resize target for a given crop, preserving the reference's
+    256/224 ratio (temp/vgg.prototxt:7-21) at any model input size."""
+    return max(crop + 1, int(round(crop * 256 / 224)))
+
+
+_PRELOAD_CACHE: dict = {}
+_PRELOAD_MAX_IMAGES = 20_000
+
+
+def _image_batches(args, graph, **kw):
+    """Batches from the imagefolder, sized to the model's input (crop = H of
+    the input spec, resize scaled with it). Small datasets are decoded +
+    preprocessed once and replayed from memory (epoch loops over the tunnel
+    would otherwise be decode-bound)."""
+    from channel_pruning_tpu.data import pipeline as dp
+
+    crop = graph.inputs[0].shape[2]
+    batch = kw.pop("batch", args.batch)
+    n_files = len(dp._list_imagefolder(Path(args.data_dir))[0])
+    if n_files <= _PRELOAD_MAX_IMAGES:
+        key = (str(args.data_dir), crop)
+        if key not in _PRELOAD_CACHE:
+            _PRELOAD_CACHE[key] = dp.preload_imagefolder(
+                args.data_dir, new_dim=_resize_dim(crop), crop=crop)
+        X, y = _PRELOAD_CACHE[key]
+        kw.pop("random_crop", None)  # preload is center-crop only
+        return dp.memory_batches(X, y, batch, **kw)
+    return dp.imagefolder_batches(args.data_dir, batch,
+                                  new_dim=_resize_dim(crop), crop=crop, **kw)
+
+
 def _calibration(args, graph):
     """(n_batches, bs, 3, H, W) inputs from the dataset dir or synthetic."""
     shape = graph.inputs[0].shape
     bs = args.cal_batch
     if args.data_dir:
-        from channel_pruning_tpu.data.pipeline import (calibration_batches,
-                                                       imagefolder_batches)
-        src = imagefolder_batches(args.data_dir, bs, crop=shape[2],
-                                  shuffle=True, seed=args.seed, loop=True)
+        from channel_pruning_tpu.data.pipeline import calibration_batches
+        src = _image_batches(args, graph, batch=bs, shuffle=True,
+                             seed=args.seed, loop=True)
         inputs, labels = calibration_batches(src, args.cal_batches, bs,
                                              image=shape[2])
         return inputs, labels
@@ -230,7 +261,8 @@ def cmd_finetune(args):
     from channel_pruning_tpu.utils.config import FinetuneConfig
 
     graph, params = _load_model(args)
-    cfg = FinetuneConfig(base_lr=args.lr, batch_size=args.batch)
+    cfg = FinetuneConfig(base_lr=args.lr, batch_size=args.batch,
+                         stepsize=args.lr_step or 200_000, gamma=args.gamma)
     import jax
     # largest device count that divides the batch (DP shards the batch dim)
     n_dev = len(jax.devices())
@@ -238,9 +270,8 @@ def cmd_finetune(args):
         n_dev -= 1
     mesh = make_mesh(n_dev) if n_dev > 1 else None
     if args.data_dir:
-        from channel_pruning_tpu.data.pipeline import imagefolder_batches
-        data = imagefolder_batches(args.data_dir, args.batch, shuffle=True,
-                                   loop=True, random_crop=True)
+        data = _image_batches(args, graph, shuffle=True, loop=True,
+                              random_crop=True, seed=args.seed)
     else:
         shape = graph.inputs[0].shape
         data = ft.synthetic_batches(args.batch, image=shape[2])
@@ -273,8 +304,7 @@ def cmd_eval(args):
 
     graph, params = _load_model(args)
     if args.data_dir:
-        from channel_pruning_tpu.data.pipeline import imagefolder_batches
-        data = imagefolder_batches(args.data_dir, args.batch)
+        data = _image_batches(args, graph)
     else:
         shape = graph.inputs[0].shape
         data = synthetic_batches(args.batch, image=shape[2])
@@ -335,6 +365,9 @@ def main(argv=None):
     p = sub.add_parser("finetune", help="data-parallel SGD finetune")
     common(p)
     p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--lr-step", type=int, default=None,
+                   help="step-decay interval (solver.prototxt stepsize)")
+    p.add_argument("--gamma", type=float, default=0.1)
     p.add_argument("--steps", type=int, default=1000)
     p.set_defaults(fn=cmd_finetune)
 

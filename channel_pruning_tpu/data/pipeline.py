@@ -109,6 +109,42 @@ def imagefolder_batches(root: str | Path, batch: int, *, new_dim: int = 256,
             return
 
 
+def preload_imagefolder(root: str | Path, *, new_dim: int = 256,
+                        crop: int = 224, mean: np.ndarray | None = None
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Decode + preprocess an entire imagefolder once into host arrays
+    (X (N,3,crop,crop) float32, y (N,) int32). For small datasets this
+    replaces per-epoch re-decode — the analogue of the reference's
+    MemoryData preload (lib/net.py:352-356) applied to training."""
+    from PIL import Image
+
+    files, labels, _ = _list_imagefolder(Path(root))
+    xs = []
+    m = None if mean is None else jnp.asarray(mean)
+    for f in files:
+        with Image.open(f) as im:
+            arr = np.asarray(im.convert("RGB"))
+        xs.append(np.asarray(preprocess(jnp.asarray(arr), new_dim=new_dim,
+                                        crop=crop, mean=m)))
+    return np.stack(xs), np.asarray(labels, np.int32)
+
+
+def memory_batches(X: np.ndarray, y: np.ndarray, batch: int, *,
+                   shuffle: bool = False, seed: int = 0, loop: bool = False
+                   ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Yield (x, y) batches from preloaded arrays."""
+    order = np.arange(len(X))
+    rng = np.random.default_rng(seed)
+    while True:
+        if shuffle:
+            rng.shuffle(order)
+        for i in range(0, len(order) - batch + 1, batch):
+            sel = order[i:i + batch]
+            yield X[sel], y[sel]
+        if not loop:
+            return
+
+
 def calibration_batches(source, n_batches: int, batch: int,
                         image: int = 224) -> tuple[np.ndarray, np.ndarray | None]:
     """Materialise (n_batches, batch, 3, H, W) calibration inputs (+labels)

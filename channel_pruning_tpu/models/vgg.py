@@ -86,6 +86,32 @@ def build_tiny_vgg(batch: int = 4, image_size: int = 16, num_classes: int = 10,
     return g, params
 
 
+def build_digits_vgg(batch: int = 32, image_size: int = 32,
+                     num_classes: int = 10, **_ignored) -> Graph:
+    """A small but real VGG-style net for the accuracy-recovery loop on the
+    bundled digits imagefolder (tools/make_digits_dataset.py): 6 prunable
+    3x3 convs in three stages, trained from scratch with this repo's own
+    finetune loop — the miniature analogue of the reference's train ->
+    prune -> finetune -> eval acceptance chain (README.md:91-100)."""
+    cfg = ((1, 2, 32), (2, 2, 64), (3, 2, 128))
+    g = build_vgg16(batch=batch, image_size=image_size,
+                    num_classes=num_classes, cfg=cfg, fc_dims=(256,),
+                    name="digits_vgg")
+    # From-scratch training on Caffe-convention inputs (raw BGR pixels minus
+    # the mean, ~±120) needs an input scale or the He-init logits overflow
+    # f32 softmax; Caffe expresses this as transform_param.scale — here it is
+    # an in-graph SCALE layer so the convention travels with the artifacts
+    # through prune/finetune/eval round-trips.
+    scale = Layer.make("data_scale", LT.SCALE, ["data"], ["data_scaled"],
+                       bias=True, init_scale=1.0 / 128.0)
+    conv1 = g.layer("conv1_1").with_bottoms(["data_scaled"])
+    layers = (scale,) + tuple(
+        conv1 if l.name == "conv1_1" else l for l in g.layers)
+    g = Graph(name=g.name, inputs=g.inputs, layers=layers)
+    g.validate()
+    return g
+
+
 def init_params(graph: Graph, seed: int = 0, dtype=np.float32) -> dict:
     """He-init parameters for every parameterised layer, Caffe layout:
     conv W (O, I/g, kh, kw); fc W (O, I); bias (O,)."""
@@ -115,5 +141,7 @@ def init_params(graph: Graph, seed: int = 0, dtype=np.float32) -> dict:
                               "factor": np.ones((), dtype)}
         elif l.type == LT.SCALE:
             c = shapes[l.bottoms[0]][1]
-            params[l.name] = {"W": np.ones(c, dtype), "b": np.zeros(c, dtype)}
+            init = float(l.attr("init_scale", 1.0))
+            params[l.name] = {"W": np.full(c, init, dtype),
+                              "b": np.zeros(c, dtype)}
     return params

@@ -20,6 +20,12 @@ MODEL_REGISTRY: dict[str, dict] = {
         "accname": "accuracy@5",
         "family": "resnet",
     },
+    "digits_vgg": {
+        "build": vgg.build_digits_vgg,
+        "flops": None,
+        "accname": "accuracy@1",
+        "family": "vgg",
+    },
     "tiny_vgg": {
         "build": lambda **kw: vgg.build_tiny_vgg(**kw)[0],
         "flops": None,

@@ -1,0 +1,117 @@
+"""The accuracy-recovery acceptance loop on real images.
+
+Miniature, fully-real analogue of the reference's acceptance chain
+(README.md:91-100, train.py:106-117): train a model from scratch with this
+repo's own finetune loop on the bundled digits imagefolder, then for each
+compression mode run  prune -> eval -> finetune-recover -> eval  entirely
+through the CLI, and report the accuracy deltas (the analogue of the
+README.md:20-26 accuracy table).
+
+Usage: python tools/accuracy_loop.py [--work /tmp/digits_loop]
+       [--data /tmp/digits] [--modes 2.0,4.0,3c]
+Writes <work>/accuracy_loop.json and prints a markdown table.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from channel_pruning_tpu import cli  # noqa: E402
+
+
+def ev(prototxt, weights, data_val, batch=61):
+    return cli.main(["eval", "--prototxt", str(prototxt), "--weights",
+                     str(weights), "--data-dir", str(data_val),
+                     "--batch", str(batch)])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work", default="/tmp/digits_loop")
+    ap.add_argument("--data", default="/tmp/digits")
+    ap.add_argument("--modes", default="2.0,4.0,3c")
+    ap.add_argument("--train-steps", type=int, default=800)
+    ap.add_argument("--recover-steps", type=int, default=400)
+    ap.add_argument("--cal-batches", type=int, default=50)
+    args = ap.parse_args()
+
+    work = Path(args.work)
+    work.mkdir(parents=True, exist_ok=True)
+    data = Path(args.data)
+    if not data.exists():
+        from make_digits_dataset import build  # sibling script
+        build(data)
+    train_dir, val_dir = data / "train", data / "val"
+    t0 = time.time()
+
+    # 1. train from scratch with the repo's own finetune loop
+    ft_pt = work / "ft_digits_vgg.prototxt"
+    ft_w = work / "ft_digits_vgg.caffemodel"
+    if not ft_w.exists():
+        cli.main(["finetune", "--model", "digits_vgg", "--data-dir",
+                  str(train_dir), "--batch", "64", "--lr", "1e-3",
+                  "--lr-step", "500", "--steps", str(args.train_steps),
+                  "--work-dir", str(work)])
+    base = ev(ft_pt, ft_w, val_dir)
+    print(f"[loop] baseline val top1 {base['accuracy@1']:.4f}")
+
+    rows = [{"mode": "baseline", "speedup": 1.0,
+             "top1": base["accuracy@1"],
+             "top1_recovered": base["accuracy@1"]}]
+
+    for mode in args.modes.split(","):
+        mode = mode.strip()
+        is_3c = mode == "3c"
+        tag = "3c" if is_3c else f"cp{mode}"
+        speed = "4.0" if is_3c else mode
+        wd = work / tag
+        prefix = "3C" if is_3c else "cp"
+        pruned_pt = wd / f"{prefix}_digits_vgg.prototxt"
+        pruned_w = wd / f"{prefix}_digits_vgg.caffemodel"
+        res = cli.main(["prune", "--prototxt", str(ft_pt), "--weights",
+                        str(ft_w), "--data-dir", str(train_dir),
+                        "--mode", "3c" if is_3c else "prune",
+                        "--speed", speed,
+                        "--cal-batches", str(args.cal_batches),
+                        "--cal-batch", "10", "--work-dir", str(wd)])
+        from channel_pruning_tpu.utils import flops
+        base_g, _ = cli._load_model(argparse.Namespace(
+            prototxt=str(ft_pt), weights=None, batch=61, image_size=None,
+            model=None))
+        ratio = (flops.total_flops(base_g, include_fc=False) /
+                 max(flops.total_flops(res.graph, include_fc=False), 1))
+
+        pruned = ev(pruned_pt, pruned_w, val_dir)
+        cli.main(["finetune", "--prototxt", str(pruned_pt), "--weights",
+                  str(pruned_w), "--data-dir", str(train_dir), "--batch",
+                  "64", "--lr", "1e-4", "--steps", str(args.recover_steps),
+                  "--work-dir", str(wd)])
+        rec_pt = wd / f"ft_{res.graph.name}.prototxt"
+        rec_w = wd / f"ft_{res.graph.name}.caffemodel"
+        rec = ev(rec_pt, rec_w, val_dir)
+        rows.append({"mode": tag, "speedup": round(ratio, 2),
+                     "top1": pruned["accuracy@1"],
+                     "top1_recovered": rec["accuracy@1"]})
+        print(f"[loop] {tag}: {ratio:.2f}x conv-mults, "
+              f"top1 {pruned['accuracy@1']:.4f} -> "
+              f"{rec['accuracy@1']:.4f} after recovery")
+
+    out = {"baseline_top1": base["accuracy@1"], "rows": rows,
+           "val_images": base["n_images"], "wall_s": round(time.time() - t0, 1)}
+    (work / "accuracy_loop.json").write_text(json.dumps(out, indent=2))
+    print("\n| mode | conv speed-up | top-1 after prune | top-1 recovered | delta vs baseline |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['mode']} | {r['speedup']}x | {r['top1']:.4f} | "
+              f"{r['top1_recovered']:.4f} | "
+              f"{r['top1_recovered'] - base['accuracy@1']:+.4f} |")
+    print(f"\ntotal wall: {out['wall_s']}s -> {work}/accuracy_loop.json")
+
+
+if __name__ == "__main__":
+    main()
