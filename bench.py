@@ -70,7 +70,7 @@ def device_solve(X, W2, Y, rank, *, subsample=400, seed=0):
     pred = np.einsum("nchw,ochw->no", X[:, keep],
                      W.reshape(Y.shape[1], int(keep.sum()), X.shape[2], X.shape[3])) + b
     err = float(np.sqrt(np.mean((pred - Y) ** 2)) / np.sqrt(np.mean(Y ** 2)))
-    return dt, int(keep.sum()), err
+    return dt, int(keep.sum()), err, np.asarray(keep)
 
 
 def sklearn_solve(X, W2, Y, rank, *, subsample=400, seed=0, rank_tol=0.1):
@@ -111,15 +111,16 @@ def sklearn_solve(X, W2, Y, rank, *, subsample=400, seed=0, rank_tol=0.1):
     dt = time.perf_counter() - t0
     pred = reg.predict(X[:, keep].reshape(N, -1))
     err = float(np.sqrt(np.mean((pred - Y) ** 2)) / np.sqrt(np.mean(Y ** 2)))
-    return dt, int(keep.sum()), err
+    return dt, int(keep.sum()), err, np.asarray(keep)
 
 
 def main():
     from channel_pruning_tpu.utils.runtime import enable_compilation_cache
     enable_compilation_cache()
     X, W2, Y, rank = make_problem()
-    dev_t, dev_keep, dev_err = device_solve(X, W2, Y, rank)
-    sk_t, sk_keep, sk_err = sklearn_solve(X, W2, Y, rank)
+    dev_t, dev_keep, dev_err, dev_mask = device_solve(X, W2, Y, rank)
+    sk_t, sk_keep, sk_err, sk_mask = sklearn_solve(X, W2, Y, rank)
+    iou = float((dev_mask & sk_mask).sum() / max((dev_mask | sk_mask).sum(), 1))
     print(json.dumps({
         "metric": "per_layer_prune_solve_latency",
         "value": round(dev_t * 1e3, 2),
@@ -132,6 +133,8 @@ def main():
             "sklearn_reference_algo": {"ms": round(sk_t * 1e3, 2),
                                        "kept": sk_keep,
                                        "rmse": round(sk_err, 4)},
+            "selection_iou": round(iou, 4),
+            "rmse_vs_sklearn": round(dev_err / sk_err, 4),
         },
     }))
 

@@ -161,19 +161,39 @@ def search_alpha(gram: LassoGram, rank: int, rank_tol: float,
     # round 0: geometric sweep to bracket the target support
     alphas = alpha0 * (2.0 ** np.arange(-2, grid_size - 2, dtype=np.float64))
     lo, hi = 0.0, None
+    best_cand = None  # (support, mask, alpha) — best in-band seen so far
     for round_i in range(max_rounds):
         a = jnp.asarray(alphas * N, dtype=gram.G.dtype)
         betas = _solve_grid(gram.G, gram.b, a, n_sweeps=n_sweeps)
         supports = np.asarray(support_sizes(betas))
         in_band = np.where((supports >= lbound) & (supports <= rbound))[0]
         if in_band.size:
-            # largest support in band: the reference's bisection approaches
-            # from too-large supports and stops at the first value <= rbound,
-            # i.e. near the TOP of the band — and more surviving channels
-            # give strictly better reconstruction at the same speed target
-            best = in_band[np.argmax(supports[in_band])]
-            mask = np.asarray(support_mask(betas[best]))
-            return mask, float(alphas[best]), int(supports[best])
+            # Prefer the largest support in band: the reference's bisection
+            # approaches from too-large supports and stops at the first value
+            # <= rbound, i.e. near the TOP of the band — and more surviving
+            # channels give strictly better reconstruction at the same speed
+            # target. A coarse grid can land low in the band (bench r01 kept
+            # 162 when the top of the band held 166-168 with visibly better
+            # rMSE), so keep refining toward rbound instead of returning on
+            # the first in-band hit.
+            bi = in_band[np.argmax(supports[in_band])]
+            if best_cand is None or supports[bi] > best_cand[0]:
+                best_cand = (int(supports[bi]),
+                             np.asarray(support_mask(betas[bi])),
+                             float(alphas[bi]))
+            if best_cand[0] >= int(rbound):
+                break
+            # refine between the best in-band alpha and the nearest smaller
+            # alpha that overshoots the band (support is ~decreasing in alpha)
+            over_i = np.where(supports > rbound)[0]
+            a_hi = best_cand[2]
+            a_lo = float(alphas[over_i[supports[over_i].argmin()]]) \
+                if over_i.size else max(lo, a_hi / 2.0)
+            if a_hi - a_lo <= 1e-12 * max(a_hi, 1e-30):
+                break
+            alphas = np.linspace(a_lo, a_hi, grid_size + 2,
+                                 dtype=np.float64)[1:-1]
+            continue
         # bracket: largest alpha with support > rbound, smallest with < lbound
         over = np.where(supports > rbound)[0]   # alpha too small
         under = np.where(supports < lbound)[0]  # alpha too big
@@ -188,6 +208,8 @@ def search_alpha(gram: LassoGram, rank: int, rank_tol: float,
             lo = hi / (2.0 ** grid_size)
         # refine linearly inside the bracket
         alphas = np.linspace(lo, hi, grid_size + 2, dtype=np.float64)[1:-1]
+    if best_cand is not None:
+        return best_cand[1], best_cand[2], best_cand[0]
     # fall back to nearest support
     dist = np.minimum(np.abs(supports - lbound), np.abs(supports - rbound))
     best = int(np.argmin(dist))
@@ -302,6 +324,7 @@ def search_alpha_group(gram: GroupGram, rank: int, rank_tol: float,
     alphas = alpha0 * (2.0 ** np.arange(-2, grid_size - 2, dtype=np.float64))
     lo, hi = 0.0, None
     norms = None
+    best_cand = None  # (support, mask, alpha) — refine toward top of band
     for _ in range(max_rounds):
         a = jnp.asarray(alphas * N, dtype=gram.G.dtype)
         Bs = group_cd_solve_grid(gram.G, gram.C, a, n_sweeps=n_sweeps)
@@ -311,8 +334,20 @@ def search_alpha_group(gram: GroupGram, rank: int, rank_tol: float,
         supports = masks.sum(axis=1)
         in_band = np.where((supports >= lbound) & (supports <= rbound))[0]
         if in_band.size:
-            best = in_band[np.argmax(supports[in_band])]   # top of band (see above)
-            return masks[best], float(alphas[best]), int(supports[best])
+            bi = in_band[np.argmax(supports[in_band])]     # top of band (see above)
+            if best_cand is None or supports[bi] > best_cand[0]:
+                best_cand = (int(supports[bi]), masks[bi], float(alphas[bi]))
+            if best_cand[0] >= int(rbound):
+                break
+            over_i = np.where(supports > rbound)[0]
+            a_hi = best_cand[2]
+            a_lo = float(alphas[over_i[supports[over_i].argmin()]]) \
+                if over_i.size else max(lo, a_hi / 2.0)
+            if a_hi - a_lo <= 1e-12 * max(a_hi, 1e-30):
+                break
+            alphas = np.linspace(a_lo, a_hi, grid_size + 2,
+                                 dtype=np.float64)[1:-1]
+            continue
         over = np.where(supports > rbound)[0]
         under = np.where(supports < lbound)[0]
         if over.size:
@@ -325,6 +360,8 @@ def search_alpha_group(gram: GroupGram, rank: int, rank_tol: float,
         if not over.size:
             lo = hi / (2.0 ** grid_size)
         alphas = np.linspace(lo, hi, grid_size + 2, dtype=np.float64)[1:-1]
+    if best_cand is not None:
+        return best_cand[1], best_cand[2], best_cand[0]
     dist = np.minimum(np.abs(supports - lbound), np.abs(supports - rbound))
     best = int(np.argmin(dist))
     return masks[best], float(alphas[best]), int(supports[best])

@@ -89,6 +89,28 @@ def test_search_alpha_hits_band(rng):
     assert agreement > 0.9, f"support agreement {agreement}"
 
 
+def test_search_alpha_refines_to_top_of_band(rng):
+    """The search must land at (or above) the best in-band support a dense
+    alpha scan can reach — not the first in-band grid hit. Round-1 bench kept
+    162/168 possible at conv3_1 scale, costing 19% rMSE vs the reference's
+    bisection, which terminates near the TOP of the band."""
+    Z, y, _ = _sparse_problem(rng, c=64, k=40)
+    gram = lasso.lasso_gram(Z, y)
+    rank = 32
+    rbound = rank + int(0.1 * rank)
+    mask, alpha, support = lasso.search_alpha(gram, rank, rank_tol=0.1,
+                                              alpha0=1e-3)
+    assert rank <= support <= rbound
+    # dense scan: what supports are actually reachable inside the band?
+    dense = (np.geomspace(alpha / 8, alpha * 8, 160) *
+             gram.n_samples).astype(np.float32)
+    betas = lasso.cd_solve_grid(gram.G, gram.b, dense, n_sweeps=200)
+    supports = np.asarray(lasso.support_sizes(betas))
+    in_band = supports[(supports >= rank) & (supports <= rbound)]
+    assert in_band.size  # the band is reachable; search must match its top
+    assert support >= in_band.max() - 1, (support, int(in_band.max()))
+
+
 def test_search_alpha_full_rank(rng):
     Z, y, _ = _sparse_problem(rng, c=16)
     gram = lasso.lasso_gram(Z, y)
@@ -294,7 +316,7 @@ def test_full_solve_selection_agreement_with_reference_algorithm(rng):
 
     X, W2, Y, rank = make_problem(seed=1, N=4000, c=64, n=96, k=3, rank=38)
     res = select_and_reconstruct(X, W2, Y, rank, seed=0)
-    _, sk_kept, sk_err = sklearn_solve(X, W2, Y, rank)
+    _, sk_kept, sk_err, _ = sklearn_solve(X, W2, Y, rank)
     # recompute the sklearn mask for overlap measurement
     from sklearn.linear_model import Lasso
     N, c = X.shape[0], X.shape[1]
@@ -306,8 +328,9 @@ def test_full_solve_selection_agreement_with_reference_algorithm(rng):
     sk_mask = solver.coef_ != 0
     agree = (res.keep == sk_mask).mean()
     assert agree > 0.85, f"selection agreement {agree}"
-    # reconstruction quality comparable to the reference path
-    assert res.rmse_after < max(2.0 * sk_err, 0.3), (res.rmse_after, sk_err)
+    # reconstruction quality at parity with (or better than) the reference
+    # path — VERDICT r01 asked for rMSE within ~5% at bench scale
+    assert res.rmse_after < max(1.05 * sk_err, 0.3), (res.rmse_after, sk_err)
 
 
 def test_pallas_hbm_cd_kernel_interpret_parity(rng):
