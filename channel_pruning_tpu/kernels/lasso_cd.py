@@ -232,7 +232,7 @@ def cd_solve_grid_pallas_hbm(G: jax.Array, b: jax.Array, alphas_n: jax.Array,
         in_specs=[
             pl.BlockSpec((ALPHA_BLOCK, 128), lambda a: (a, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),        # G stays off-chip
+            pl.BlockSpec(memory_space=pl.ANY),           # G stays off-chip
             pl.BlockSpec((1, c_pad), lambda a: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c_pad), lambda a: (0, 0),

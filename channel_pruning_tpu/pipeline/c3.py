@@ -43,6 +43,7 @@ from channel_pruning_tpu.graph.ir import Graph, LT
 from channel_pruning_tpu.ops import lowrank
 from channel_pruning_tpu.ops.forward import to_device_params
 from channel_pruning_tpu.pipeline import prune as prune_mod
+from channel_pruning_tpu.sampling import rolling as rolling_mod
 from channel_pruning_tpu.sampling import sampler as sampling
 from channel_pruning_tpu.utils.config import Config
 from channel_pruning_tpu.utils.timers import Timer
@@ -83,6 +84,13 @@ class SolveResult:
     params: dict                      # its parameters
     reports: list[LayerReport] = field(default_factory=list)
     selections: dict[str, np.ndarray] = field(default_factory=dict)
+    # layers where the rolling frontier could not serve the request and a
+    # full replay was used instead (performance-only degradation)
+    frontier_fallbacks: list[str] = field(default_factory=list)
+    # 3C layers where ITQ was rejected and the layer stayed at VH-only
+    itq_degraded: list[str] = field(default_factory=list)
+    # 3C layers kept completely untouched (spatial stage rejected too)
+    undecomposed: list[str] = field(default_factory=list)
 
     def summary(self) -> str:
         lines = []
@@ -92,6 +100,16 @@ class SolveResult:
             lines.append(f"{r.conv:>16s}  rank={rk!s:>4s} keep={sel:>9s} "
                          f"rMSE {r.rmse_before:.4f}->{r.rmse_after:.4f} "
                          f"({r.seconds:.2f}s)")
+        if self.frontier_fallbacks:
+            lines.append(f"frontier fallbacks ({len(self.frontier_fallbacks)}):"
+                         f" {', '.join(self.frontier_fallbacks)}")
+        if self.itq_degraded:
+            lines.append(f"ITQ degraded to VH-only "
+                         f"({len(self.itq_degraded)}): "
+                         f"{', '.join(self.itq_degraded)}")
+        if self.undecomposed:
+            lines.append(f"kept undecomposed ({len(self.undecomposed)}): "
+                         f"{', '.join(self.undecomposed)}")
         return "\n".join(lines)
 
 
@@ -131,8 +149,6 @@ def _maybe_rolling(g_run: Graph, cache: sampling.FrozenCache,
     """Use the O(L) rolling frontier when the live activation cut over the
     whole calibration set fits HBM: the chain variant for plain nets, the
     DAG-cut variant for residual topologies."""
-    from channel_pruning_tpu.sampling import rolling as rolling_mod
-
     n_images = cache.n_batches * cache.batch_size
     if rolling_mod.is_chain(g_run):
         if rolling_mod.estimate_peak_bytes(g_run, n_images) > hbm_budget:
@@ -203,6 +219,7 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
     p_out = {k: dict(v) for k, v in params.items()}
     reports: list[LayerReport] = []
     selections: dict[str, np.ndarray] = {}
+    frontier_fallbacks: list[str] = []
     resume_i = -1
     if checkpoint is not None:
         snap = checkpoint.load()
@@ -211,6 +228,7 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             p_run, g_out, p_out = st["p_run"], st["g_out"], st["p_out"]
             selections = st["selections"]
             reports = st["reports"]
+            frontier_fallbacks = st.get("frontier_fallbacks", [])
             print(f"[resume] solve_prune continuing after layer {resume_i}")
     chunk = max(cfg.sample.device_batch // cache.batch_size, 1)
     cdt = None if cfg.solve.dtype == "float32" else cfg.solve.dtype
@@ -244,8 +262,10 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             try:
                 roll.advance_to(dev_run, bottom)
                 X = roll.patches_at(cache.plan, consumer)
-            except Exception as exc:  # non-monotone bottom etc: full replay
+            except rolling_mod.FrontierError as exc:
+                # non-monotone bottom: full replay (perf-only degradation)
                 print(f"[rolling] fallback for {consumer}: {exc}")
+                frontier_fallbacks.append(consumer)
         if X is None:
             X = sampling.sample_patches(g_run, dev_run, cache.inputs, consumer,
                                         cache.plan, chunk_batches=chunk,
@@ -263,8 +283,9 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                 try:
                     cur = {o: roll.features_at(dev_run, cache.plan, o)
                            for o in others}
-                except Exception as exc:
+                except rolling_mod.FrontierError as exc:
                     print(f"[rolling] features fallback for {consumer}: {exc}")
+                    frontier_fallbacks.append(f"{consumer}(features)")
             if cur is None:
                 cur = sampling.sample_features(g_run, dev_run, cache.inputs,
                                                cache.plan, others,
@@ -305,7 +326,8 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             checkpoint.maybe_save(i, {"p_run": p_run, "g_out": g_out,
                                       "p_out": p_out,
                                       "selections": selections,
-                                      "reports": reports})
+                                      "reports": reports,
+                                      "frontier_fallbacks": frontier_fallbacks})
 
     if checkpoint is not None:
         checkpoint.clear()
@@ -364,8 +386,12 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                       f"rMSE {res.rmse_before:.4f}->{res.rmse_after:.4f}")
             break  # only the first FC consumes conv channels
 
+    if frontier_fallbacks:
+        print(f"[rolling] {len(frontier_fallbacks)} frontier fallback(s): "
+              f"{', '.join(frontier_fallbacks)}")
     return SolveResult(graph=g_out, params=p_out, reports=reports,
-                       selections=selections)
+                       selections=selections,
+                       frontier_fallbacks=frontier_fallbacks)
 
 
 # ---------------------------------------------------------------------------
@@ -411,6 +437,9 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
     p_out = {k: dict(v) for k, v in params.items()}
     reports: list[LayerReport] = []
     selections: dict[str, np.ndarray] = {}
+    frontier_fallbacks: list[str] = []
+    itq_degraded: list[str] = []
+    undecomposed: list[str] = []
     # input-keep masks recorded by the pruning arm, consumed when the conv is
     # itself decomposed (V input channels sliced)
     input_keep: dict[str, np.ndarray] = {}
@@ -423,6 +452,9 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             selections = st["selections"]
             input_keep = st["input_keep"]
             reports = st["reports"]
+            frontier_fallbacks = st.get("frontier_fallbacks", [])
+            itq_degraded = st.get("itq_degraded", [])
+            undecomposed = st.get("undecomposed", [])
             print(f"[resume] solve_3c continuing after layer {resume_i}")
 
     convs = list(g_run.convs)
@@ -453,10 +485,15 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         timer.tic()
 
         # ---- (a) spatial decomposition --------------------------------
+        X = None
         if roll is not None:
-            roll.advance_to(dev_run, l_run.bottoms[0])
-            X = roll.patches_at(cache.plan, conv)
-        else:
+            try:
+                roll.advance_to(dev_run, l_run.bottoms[0])
+                X = roll.patches_at(cache.plan, conv)
+            except rolling_mod.FrontierError as exc:
+                print(f"[rolling] fallback for {conv}: {exc}")
+                frontier_fallbacks.append(conv)
+        if X is None:
             X = sampling.sample_patches(g_run, dev_run, cache.inputs, conv,
                                         cache.plan, chunk_batches=chunk,
                                         compute_dtype=cdt)
@@ -464,6 +501,7 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             # extreme accumulated activations would fault the device
             # eigh/SVD kernels — keep the layer untouched
             print(f"[3c] {conv}: inputs rejected by epscheck — layer kept")
+            undecomposed.append(conv)
             reports.append(LayerReport(conv=conv, rank=rank,
                                        seconds=timer.toc()))
             continue
@@ -474,12 +512,14 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         except np.linalg.LinAlgError as exc:
             print(f"[3c] {conv}: spatial decomposition failed ({exc}) — "
                   "layer kept undecomposed")
+            undecomposed.append(conv)
             reports.append(LayerReport(conv=conv, rank=rank,
                                        seconds=timer.toc()))
             continue
         if not _epscheck(vh.VHr, vh.b, vh.V, vh.H):
             print(f"[3c] {conv}: spatial factors rejected by epscheck — "
                   "layer kept undecomposed")
+            undecomposed.append(conv)
             reports.append(LayerReport(conv=conv, rank=rank,
                                        seconds=timer.toc()))
             continue
@@ -516,6 +556,7 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         else:
             print(f"[3c] {conv}: ITQ factors rejected by epscheck — "
                   "layer kept at spatial (VH) decomposition only")
+            itq_degraded.append(conv)
         t_channel = timer.toc()
 
         # ---- output graph: conv -> V, insert H (and P when ITQ held) --
@@ -549,10 +590,15 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         if convnext is not None and cfg.dic.vh:
             d_c = int(math.floor(n_out / cfg.dic.c_ratio))
             timer.tic()
+            Xn = None
             if roll is not None:
-                roll.advance_to(dev_run, g_run.layer(convnext).bottoms[0])
-                Xn = roll.patches_at(cache.plan, convnext)
-            else:
+                try:
+                    roll.advance_to(dev_run, g_run.layer(convnext).bottoms[0])
+                    Xn = roll.patches_at(cache.plan, convnext)
+                except rolling_mod.FrontierError as exc:
+                    print(f"[rolling] fallback for {convnext}: {exc}")
+                    frontier_fallbacks.append(convnext)
+            if Xn is None:
                 Xn = sampling.sample_patches(g_run, dev_run, cache.inputs,
                                              convnext, cache.plan,
                                              chunk_batches=chunk,
@@ -600,10 +646,20 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                                       "p_out": p_out,
                                       "selections": selections,
                                       "input_keep": input_keep,
-                                      "reports": reports})
+                                      "reports": reports,
+                                      "frontier_fallbacks": frontier_fallbacks,
+                                      "itq_degraded": itq_degraded,
+                                      "undecomposed": undecomposed})
 
     if checkpoint is not None:
         checkpoint.clear()
     g_out.validate()
+    n_3c = sum(1 for c in convs if c not in skip and c in ranks)
+    n_deg = len(itq_degraded) + len(undecomposed)
+    print(f"[3c] {n_3c - n_deg}/{n_3c} layers fully decomposed "
+          f"(VH+ITQ); {len(itq_degraded)} VH-only, "
+          f"{len(undecomposed)} untouched")
     return SolveResult(graph=g_out, params=p_out, reports=reports,
-                       selections=selections)
+                       selections=selections,
+                       frontier_fallbacks=frontier_fallbacks,
+                       itq_degraded=itq_degraded, undecomposed=undecomposed)

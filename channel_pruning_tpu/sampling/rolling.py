@@ -36,6 +36,13 @@ from channel_pruning_tpu.ops.patches import (gather_channels_at_points,
 _STRUCT = (LT.ELTWISE, LT.CONCAT, LT.SELECT)
 
 
+class FrontierError(RuntimeError):
+    """The frontier cannot serve this request (non-monotone advance, or the
+    requested tensor is not at/behind the cut). Callers fall back to a full
+    replay — any OTHER exception from the rolling path is a real bug and
+    must propagate."""
+
+
 def is_chain(graph: Graph) -> bool:
     """True when every activation tensor has exactly one consumer path —
     no residual junctions (Eltwise/Concat) between convs."""
@@ -99,6 +106,12 @@ class RollingReplay:
         one group at a time (bounded memory)."""
         if tensor == self.tensor:
             return
+        cur = self.graph.producer(self.tensor)
+        prod = self.graph.producer(tensor)
+        if prod is None or (cur is not None and
+                            self.graph.index(prod.name) <=
+                            self.graph.index(cur.name)):
+            raise FrontierError(f"cannot rewind frontier to {tensor}")
         fn = _segment_fn(self.graph, self.tensor, tensor, self.compute_dtype)
         for i in range(len(self.groups)):
             self.groups[i] = fn(params, self.groups[i])
@@ -108,7 +121,9 @@ class RollingReplay:
         """(N, c, kh, kw) input patches of `conv` gathered from the frontier
         (which must be at conv's bottom)."""
         l = self.graph.layer(conv)
-        assert l.bottoms[0] == self.tensor, (l.bottoms[0], self.tensor)
+        if l.bottoms[0] != self.tensor:
+            raise FrontierError(
+                f"frontier at {self.tensor}, need {l.bottoms[0]}")
         geo = l.conv_geometry()
         ys_all, xs_all = plan[l.tops[0]]
         kern = ((geo["kh"], geo["kw"]), (geo["sh"], geo["sw"]),
@@ -257,7 +272,7 @@ class RollingReplayDAG:
         prod = self.graph.producer(tensor)
         target_idx = self.graph.index(prod.name)
         if target_idx <= self.pos:
-            raise ValueError(f"cannot rewind frontier to {tensor}")
+            raise FrontierError(f"cannot rewind frontier to {tensor}")
         fn = self._segment(target_idx)
         new_state: dict[str, list[jax.Array]] = {}
         for gi in range(self.n_groups):
@@ -270,7 +285,9 @@ class RollingReplayDAG:
     def patches_at(self, plan, conv: str) -> np.ndarray:
         l = self.graph.layer(conv)
         bottom = l.bottoms[0]
-        assert bottom in self.state, (bottom, sorted(self.state))
+        if bottom not in self.state:
+            raise FrontierError(
+                f"{bottom} not in the live cut {sorted(self.state)}")
         geo = l.conv_geometry()
         ys_all, xs_all = plan[l.tops[0]]
         kern = ((geo["kh"], geo["kw"]), (geo["sh"], geo["sw"]),

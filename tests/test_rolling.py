@@ -108,6 +108,34 @@ def test_dag_rolling_matches_full_replay():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_frontier_error_is_narrow(setup):
+    """Rewinds raise FrontierError (the ONLY exception the solve loop treats
+    as a fall-back signal); anything else must propagate as a bug."""
+    from channel_pruning_tpu.sampling.rolling import (FrontierError,
+                                                      RollingReplayDAG)
+
+    g, params, dev, inputs, cache = setup
+    roll = RollingReplay(g, inputs)
+    convs = list(g.convs)
+    roll.advance_to(dev, g.layer(convs[2]).bottoms[0])
+    with pytest.raises(FrontierError):
+        roll.advance_to(dev, g.layer(convs[1]).bottoms[0])
+    with pytest.raises(FrontierError):
+        roll.patches_at(cache.plan, convs[1])
+
+    g0, p0 = build_tiny_resnet(batch=4, image_size=32)
+    from channel_pruning_tpu.pipeline import c3
+    gr, pr = c3.preprocess(g0, p0)
+    rng = np.random.default_rng(7)
+    rin = rng.normal(0, 1, (3, 4, 3, 32, 32)).astype(np.float32)
+    devr = to_device_params(pr)
+    rconvs = list(gr.convs)
+    dag = RollingReplayDAG(gr, rin, group_batches=3)
+    dag.advance_to(devr, gr.layer(rconvs[3]).bottoms[0])
+    with pytest.raises(FrontierError):
+        dag.advance_to(devr, gr.layer(rconvs[1]).bottoms[0])
+
+
 def test_resnet_solve_uses_dag_rolling_equivalently():
     """tiny-resnet solve_prune (now on the DAG frontier) must agree with
     the full-replay path layer for layer."""
