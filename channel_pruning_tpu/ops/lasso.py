@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from channel_pruning_tpu.ops.lstsq import f32_matmuls
+
 
 class LassoGram(NamedTuple):
     G: jax.Array       # (c, c)  ZᵀZ
@@ -35,6 +37,7 @@ class LassoGram(NamedTuple):
     n_samples: int     # N rows of Z
 
 
+@f32_matmuls
 def build_channel_response(X: jax.Array, W2: jax.Array) -> jax.Array:
     """Z columns are per-input-channel partial responses of the next layer.
 
@@ -52,6 +55,7 @@ def build_channel_response(X: jax.Array, W2: jax.Array) -> jax.Array:
 
 
 @jax.jit
+@f32_matmuls
 def lasso_gram(Z: jax.Array, y: jax.Array) -> LassoGram:
     G = Z.T @ Z
     G = 0.5 * (G + G.T)
@@ -59,6 +63,7 @@ def lasso_gram(Z: jax.Array, y: jax.Array) -> LassoGram:
 
 
 @functools.partial(jax.jit, static_argnames=("n_sweeps",))
+@f32_matmuls
 def cd_solve(G: jax.Array, b: jax.Array, alpha_n: jax.Array,
              beta0: jax.Array, n_sweeps: int = 200, tol: float = 1e-8
              ) -> jax.Array:
@@ -100,6 +105,7 @@ def cd_solve(G: jax.Array, b: jax.Array, alpha_n: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("n_sweeps",))
+@f32_matmuls
 def cd_solve_grid(G: jax.Array, b: jax.Array, alphas_n: jax.Array,
                   n_sweeps: int = 200) -> jax.Array:
     """Solve the full alpha grid in parallel: (n_alpha, c) betas."""
@@ -255,12 +261,14 @@ class GroupGram(NamedTuple):
 
 
 @jax.jit
+@f32_matmuls
 def group_gram(X: jax.Array, Y: jax.Array) -> GroupGram:
     G = X.T @ X
     return GroupGram(G=0.5 * (G + G.T), C=X.T @ Y, n_samples=X.shape[0])
 
 
 @functools.partial(jax.jit, static_argnames=("n_sweeps",))
+@f32_matmuls
 def group_cd_solve(G: jax.Array, C: jax.Array, alpha_n: jax.Array,
                    n_sweeps: int = 200, tol: float = 1e-8) -> jax.Array:
     """Block CD: row j update  B_j = soft_group(R_j) / G_jj  with
@@ -300,6 +308,7 @@ def group_cd_solve(G: jax.Array, C: jax.Array, alpha_n: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("n_sweeps",))
+@f32_matmuls
 def group_cd_solve_grid(G: jax.Array, C: jax.Array, alphas_n: jax.Array,
                         n_sweeps: int = 200) -> jax.Array:
     return jax.vmap(lambda a: group_cd_solve(G, C, a, n_sweeps))(alphas_n)

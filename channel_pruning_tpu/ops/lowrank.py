@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from channel_pruning_tpu.ops import lstsq
+from channel_pruning_tpu.ops.lstsq import f32_matmuls
 
 
 # ---------------------------------------------------------------------------
@@ -31,6 +32,7 @@ from channel_pruning_tpu.ops import lstsq
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("lambdas", "iters"))
+@f32_matmuls
 def nonlinear_fit(X: jax.Array, Y: jax.Array,
                   lambdas: tuple[float, ...] = (0.1, 1.0),
                   iters: tuple[int, ...] = (30, 20),
@@ -62,6 +64,7 @@ class VHResult(NamedTuple):
     b: jax.Array | None  # refit bias when data given
 
 
+@f32_matmuls
 def vh_decompose(W: jax.Array, rank: int, X: jax.Array | None = None,
                  Y: jax.Array | None = None,
                  lambdas: tuple[float, ...] = (0.1, 1.0),
@@ -135,6 +138,7 @@ def _pinv_psd(A, rcond: float = 1e-6) -> np.ndarray:
 
 
 @jax.jit
+@f32_matmuls
 def _itq_moments(feature: jax.Array):
     Y_mean = jnp.mean(feature, axis=0)
     G = feature - Y_mean
@@ -143,6 +147,7 @@ def _itq_moments(feature: jax.Array):
 
 
 @jax.jit
+@f32_matmuls
 def _itq_step_a(G: jax.Array, GtG: jax.Array, PG: jax.Array, UU: jax.Array):
     """Device half-step: M = PG Gᵀ UU and the (d x d) projected Gram whose
     top-k eigenvectors give the rank truncation."""
@@ -153,6 +158,7 @@ def _itq_step_a(G: jax.Array, GtG: jax.Array, PG: jax.Array, UU: jax.Array):
 
 
 @jax.jit
+@f32_matmuls
 def _itq_step_b(G: jax.Array, M: jax.Array, Vk: jax.Array, U_mean: jax.Array,
                 Z: jax.Array, lam: jax.Array):
     """Device half-step: apply the truncation and the closed-form ReLU
@@ -206,6 +212,7 @@ def _itq_solve_T(feature, gt_feature, rank: int,
     return T, Y_mean, U_mean
 
 
+@f32_matmuls
 def itq_decompose(feature: np.ndarray | jax.Array, gt_feature, weight, rank: int,
                   bias=None, Wr=None, lambdas: tuple[float, ...] = (0.1, 1.0),
                   iters: tuple[int, ...] = (30, 20)) -> ITQResult:

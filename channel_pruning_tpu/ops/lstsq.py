@@ -15,6 +15,21 @@ import jax
 import jax.numpy as jnp
 
 
+def f32_matmuls(fn):
+    """Trace `fn` with full-f32 matmul precision. TPU matmuls default to
+    bf16 passes; fine for the replay forwards (proven selection-identical,
+    BENCH_NOTES), but the SOLVER iterations — Gram reductions, the ITQ
+    alternating loop — amplify the truncation noise until the reference's
+    epscheck bounds trip (observed: every ITQ stage of a trained net rejected
+    on TPU, none on CPU). Solver matrices are (d x d)-tiny, so full precision
+    costs nothing next to the replays."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+    return wrapped
+
+
 class LinearFactors(NamedTuple):
     """Cached Cholesky factorisation of centered X'X for repeated solves
     against new targets (ALS loops refit the same design matrix dozens of
@@ -30,6 +45,7 @@ def _sym(a: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("ridge", "jitter"))
+@f32_matmuls
 def factor(X: jax.Array, ridge: float = 0.0, jitter: float = 1e-6) -> LinearFactors:
     """Factor the centered Gram matrix of X (N, d).
 
@@ -47,6 +63,7 @@ def factor(X: jax.Array, ridge: float = 0.0, jitter: float = 1e-6) -> LinearFact
 
 
 @jax.jit
+@f32_matmuls
 def solve(f: LinearFactors, X: jax.Array, Y: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Solve for (W, b) with cached factors: Y ≈ X @ W.T + b.
 
@@ -62,6 +79,7 @@ def solve(f: LinearFactors, X: jax.Array, Y: jax.Array) -> tuple[jax.Array, jax.
 
 
 @functools.partial(jax.jit, static_argnames=("ridge", "fit_intercept"))
+@f32_matmuls
 def fit_linear(X: jax.Array, Y: jax.Array, ridge: float = 0.0,
                fit_intercept: bool = True) -> tuple[jax.Array, jax.Array]:
     """One-shot least squares: W, b = argmin ||X W.T + b - Y||^2 (+ ridge)."""
@@ -78,6 +96,7 @@ def fit_linear(X: jax.Array, Y: jax.Array, ridge: float = 0.0,
 
 
 @jax.jit
+@f32_matmuls
 def solve_relu(RU: jax.Array, Z: jax.Array, lam: jax.Array | float) -> jax.Array:
     """Closed-form per-element minimiser of |relu(u)-z|^2 + λ|u-ru|^2
     (the ReLU-aware ALS inner step; math of decompose.py:51-59)."""

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from channel_pruning_tpu.ops.lasso import LassoGram
+from channel_pruning_tpu.ops.lstsq import f32_matmuls
 from channel_pruning_tpu.parallel import mesh as mesh_mod
 
 P = jax.sharding.PartitionSpec
@@ -32,6 +33,7 @@ def _gram_fn(mesh: jax.sharding.Mesh):
     return jax.jit(f, in_shardings=(data, data), out_shardings=(repl, repl))
 
 
+@f32_matmuls
 def sharded_lasso_gram(Z, y, mesh: jax.sharding.Mesh) -> LassoGram:
     """Row-sharded ZᵀZ / Zᵀy with an ICI all-reduce; result replicated so the
     (c x c) CD solve runs identically on every device."""
@@ -58,6 +60,7 @@ def _moments_fn(mesh: jax.sharding.Mesh):
                    out_shardings=(repl, repl, repl, repl))
 
 
+@f32_matmuls
 def sharded_lstsq(X, Y, mesh: jax.sharding.Mesh, ridge: float = 0.0,
                   jitter: float = 1e-6):
     """Centered normal-equation least squares with row-sharded reduction:

@@ -35,6 +35,7 @@ import math
 from dataclasses import dataclass, field
 from typing import Mapping
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -533,9 +534,10 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         # the post-VH responses at the sampled points are exactly the
         # already-extracted patches convolved with VHr — no replay needed
         # (the reference re-runs a 500-batch extraction here, net.py:1386)
-        feat = np.asarray(
-            jnp.einsum("nchw,ochw->no", jnp.asarray(X, jnp.float32),
-                       jnp.asarray(vh.VHr)) + jnp.asarray(vh.b))
+        with jax.default_matmul_precision("float32"):
+            feat = np.asarray(
+                jnp.einsum("nchw,ochw->no", jnp.asarray(X, jnp.float32),
+                           jnp.asarray(vh.VHr)) + jnp.asarray(vh.b))
         if _epscheck(feat, warn=1e5, reject=1e6):
             try:
                 itq = lowrank.itq_decompose(feat, Ygt, np.asarray(vh.H), rank,

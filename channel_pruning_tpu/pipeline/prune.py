@@ -61,6 +61,7 @@ class PruneResult:
     rmse_after: float         # after selection + reconstruction
 
 
+@lstsq.f32_matmuls
 def select_and_reconstruct(X: np.ndarray, W2: np.ndarray, Y: np.ndarray,
                            rank: int, *, rank_tol: float = 0.1,
                            alpha0: float = 1e-3, subsample: int = 400,
