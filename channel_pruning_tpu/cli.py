@@ -108,6 +108,21 @@ def _workdir(args) -> Path:
     return wd
 
 
+def _solver_mesh():
+    """Sample-dimension mesh over every local device for the solver
+    reductions (psum Gram, SURVEY.md §5); None on a single chip."""
+    import jax
+
+    from channel_pruning_tpu.parallel import mesh as mesh_mod
+
+    if len(jax.devices()) > 1:
+        mesh = mesh_mod.make_mesh()
+        print(f"[prune] sharding solver reductions over "
+              f"{mesh.devices.size} devices")
+        return mesh
+    return None
+
+
 def cmd_prune(args):
     from channel_pruning_tpu.io import caffe as cio
     from channel_pruning_tpu.models.vgg import VGG16_5X_CHANNELS, VGG16_RANKS_4X
@@ -155,7 +170,8 @@ def cmd_prune(args):
                      for c in graph.convs[1:]}
         from channel_pruning_tpu.pipeline.checkpoint import SolveCheckpoint
         ck = SolveCheckpoint(wd / "solve_state_3c.pkl", every=1)
-        res = c3.solve_3c(graph, params, cache, cfg, ranks, checkpoint=ck)
+        res = c3.solve_3c(graph, params, cache, cfg, ranks, checkpoint=ck,
+                          mesh=_solver_mesh())
     else:
         input_targets = None
         if args.channels:
@@ -172,7 +188,7 @@ def cmd_prune(args):
         res = c3.solve_prune(graph, params, cache, cfg,
                              channel_targets=targets,
                              input_targets=input_targets,
-                             checkpoint=ck)
+                             checkpoint=ck, mesh=_solver_mesh())
 
     dt = time.perf_counter() - t0
     print(res.summary())

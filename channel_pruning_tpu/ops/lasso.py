@@ -227,12 +227,14 @@ def select_channels(X: np.ndarray, W2: np.ndarray, Y: np.ndarray, rank: int,
                     *, alpha0: float = 1e-3, rank_tol: float = 0.1,
                     subsample: int = 400, seed: int = 0, grid_size: int = 16,
                     max_rounds: int = 8, n_sweeps: int = 200,
-                    ) -> tuple[np.ndarray, float, int]:
+                    mesh=None) -> tuple[np.ndarray, float, int]:
     """End-to-end channel selection for one layer.
 
     X: (N, c, kh, kw) patches, W2: (n, c, kh, kw), Y: (N, n) target responses.
     Row subsampling matches the reference (min(400, N//20) rows,
-    decompose.py:425) but with a deterministic PRNG.
+    decompose.py:425) but with a deterministic PRNG. With a `mesh`, the Z
+    Gram reduction (n_sub*n rows) is row-sharded and psum-reduced across it;
+    the (c x c) CD search then runs identically on every device.
     """
     N = X.shape[0]
     n_sub = min(subsample, max(N // 20, 1))
@@ -241,7 +243,11 @@ def select_channels(X: np.ndarray, W2: np.ndarray, Y: np.ndarray, rank: int,
     Xs = jnp.asarray(X[rows], jnp.float32)
     Ys = jnp.asarray(Y[rows], jnp.float32)
     Z = build_channel_response(Xs, jnp.asarray(W2, jnp.float32))
-    gram = lasso_gram(Z, Ys.reshape(-1))
+    if mesh is not None and mesh.devices.size > 1:
+        from channel_pruning_tpu.parallel.sharded import sharded_lasso_gram
+        gram = sharded_lasso_gram(Z, Ys.reshape(-1), mesh)
+    else:
+        gram = lasso_gram(Z, Ys.reshape(-1))
     return search_alpha(gram, rank, rank_tol, alpha0=alpha0,
                         grid_size=grid_size, max_rounds=max_rounds,
                         n_sweeps=n_sweeps)
@@ -380,7 +386,8 @@ def select_channels_group(X: np.ndarray, Y: np.ndarray, rank: int, *,
                           alpha0: float = 1e-3, rank_tol: float = 0.1,
                           subsample: int = 400, seed: int = 0,
                           grid_size: int = 16, max_rounds: int = 8,
-                          n_sweeps: int = 200) -> tuple[np.ndarray, float, int]:
+                          n_sweeps: int = 200, mesh=None
+                          ) -> tuple[np.ndarray, float, int]:
     """Group-lasso channel selection for 1x1/FC consumers: X (N, c[,1,1]),
     Y (N, n). Row subsampling as in decompose.py:425."""
     X = np.asarray(X, np.float32).reshape(X.shape[0], -1)
@@ -388,7 +395,13 @@ def select_channels_group(X: np.ndarray, Y: np.ndarray, rank: int, *,
     n_sub = min(subsample, max(N // 20, 1))
     rng = np.random.default_rng(seed)
     rows = rng.integers(0, N, size=n_sub)
-    gram = group_gram(jnp.asarray(X[rows]), jnp.asarray(Y[rows], jnp.float32))
+    if mesh is not None and mesh.devices.size > 1:
+        from channel_pruning_tpu.parallel.sharded import sharded_group_gram
+        gram = sharded_group_gram(jnp.asarray(X[rows]),
+                                  jnp.asarray(Y[rows], jnp.float32), mesh)
+    else:
+        gram = group_gram(jnp.asarray(X[rows]),
+                          jnp.asarray(Y[rows], jnp.float32))
     return search_alpha_group(gram, rank, rank_tol, alpha0=alpha0,
                               grid_size=grid_size, max_rounds=max_rounds,
                               n_sweeps=n_sweeps)

@@ -170,16 +170,75 @@ def _itq_step_b(G: jax.Array, M: jax.Array, Vk: jax.Array, U_mean: jax.Array,
     return T, U - U_mean2, U_mean2
 
 
+@functools.partial(jax.jit, static_argnames=("rank", "lambdas", "iters"))
+@f32_matmuls
+def _itq_loop_device(G, GtG, PG, Z, Y_mean, rank: int,
+                     lambdas: tuple[float, ...], iters: tuple[int, ...]):
+    """The whole ITQ alternating schedule as ONE device program: eigh runs
+    on-chip inside a fori_loop, so a 50-iteration solve costs one dispatch
+    instead of ~100 host<->device round-trips over the tunnel (~10 s/layer
+    saved at VGG scale). Tracks the last finite (T, U_mean) so a diverging
+    tail can be salvaged exactly like the host path."""
+    d = G.shape[1]
+
+    def one_iter(carry, lam):
+        UU, U_mean, T_good, Um_good, ok = carry
+        S = G.T @ UU                                  # (d, d) MXU over N
+        M = PG @ S
+        XtX = M.T @ GtG @ M
+        XtX = 0.5 * (XtX + XtX.T)
+        finite_in = jnp.isfinite(XtX).all()
+        _, v = jnp.linalg.eigh(jnp.where(finite_in, XtX, jnp.eye(d)))
+        Vk = v[:, -rank:]
+        T = M @ Vk @ Vk.T
+        RU = G @ T + U_mean
+        U = lstsq.solve_relu(RU, Z, lam)
+        U_mean2 = jnp.mean(U, axis=0)
+        ok_now = (finite_in & jnp.isfinite(T).all()
+                  & jnp.isfinite(U_mean2).all())
+        T_good = jnp.where(ok_now, T, T_good)
+        Um_good = jnp.where(ok_now, U_mean2, Um_good)
+        return (U - U_mean2, U_mean2, T_good, Um_good, ok & ok_now)
+
+    carry = (G, Y_mean, jnp.zeros((d, d), G.dtype), Y_mean, jnp.bool_(True))
+    for lam, n_it in zip(lambdas, iters):
+        lam = jnp.float32(lam)
+        carry = jax.lax.fori_loop(0, n_it,
+                                  lambda _, c: one_iter(c, lam), carry)
+    _, _, T_good, Um_good, all_ok = carry
+    return T_good, Um_good, all_ok
+
+
 def _itq_solve_T(feature, gt_feature, rank: int,
                  lambdas: tuple[float, ...], iters: tuple[int, ...]):
     """Core ITQ alternating solve. Returns (T, Y_mean, U_mean).
 
     feature: (N, d) current responses; gt_feature: (N, d) ground truth.
     Alternates (a) rank-k projection of the ridge solution U ≈ G T with
-    (b) the closed-form ReLU regression (decompose.py:204-247). The N-sized
-    matmuls run on device; the tiny (d x d) eigendecompositions run on host
-    in f64 (no N-sized SVD anywhere in the loop).
+    (b) the closed-form ReLU regression (decompose.py:204-247), fully
+    on-device (`_itq_loop_device`); only the pinv of the (d x d) Gram is
+    computed on host in f64 up front (decompose.py:149-152 pins scipy
+    pinv(…, 1e-6)). No N-sized SVD anywhere in the loop.
     """
+    feature = jnp.asarray(feature, jnp.float32)
+    Z = jnp.maximum(jnp.asarray(gt_feature, jnp.float32), 0.0)
+    Y_mean, G, GtG = _itq_moments(feature)
+    PG = jnp.asarray(_pinv_psd(np.asarray(GtG)))
+    T, U_mean, all_ok = _itq_loop_device(G, GtG, PG, Z, Y_mean, rank,
+                                         tuple(lambdas), tuple(iters))
+    T_h, Um_h = np.asarray(T), np.asarray(U_mean)
+    if not (np.isfinite(T_h).all() and np.isfinite(Um_h).all()) or \
+            not np.abs(T_h).any():
+        raise np.linalg.LinAlgError("ITQ ALS diverged with no finite iterate")
+    if not bool(all_ok):
+        print("[itq] ALS diverged mid-schedule; salvaged last finite iterate")
+    return T, Y_mean, U_mean
+
+
+def _itq_solve_T_host(feature, gt_feature, rank: int,
+                      lambdas: tuple[float, ...], iters: tuple[int, ...]):
+    """Host-stepped variant of `_itq_solve_T` (eigh per iteration on host in
+    f64). Kept as the numerical oracle for the fused device loop."""
     feature = jnp.asarray(feature, jnp.float32)
     Z = jnp.maximum(jnp.asarray(gt_feature, jnp.float32), 0.0)
     Y_mean, G, GtG = _itq_moments(feature)

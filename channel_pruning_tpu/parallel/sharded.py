@@ -47,6 +47,32 @@ def sharded_lasso_gram(Z, y, mesh: jax.sharding.Mesh) -> LassoGram:
 
 
 @functools.lru_cache(maxsize=8)
+def _group_gram_fn(mesh: jax.sharding.Mesh):
+    data = mesh_mod.batch_sharded(mesh)
+    repl = mesh_mod.replicated(mesh)
+
+    def f(X, Y):
+        G = X.T @ X
+        return 0.5 * (G + G.T), X.T @ Y
+
+    return jax.jit(f, in_shardings=(data, data), out_shardings=(repl, repl))
+
+
+@f32_matmuls
+def sharded_group_gram(X, Y, mesh: jax.sharding.Mesh):
+    """Row-sharded XᵀX / XᵀY for the group-lasso (MultiTaskLasso) branch."""
+    from channel_pruning_tpu.ops.lasso import GroupGram
+
+    n = X.shape[0]
+    Xp, _ = mesh_mod.pad_to_multiple(jax.device_get(jnp.asarray(X)),
+                                     mesh.devices.size)
+    Yp, _ = mesh_mod.pad_to_multiple(jax.device_get(jnp.asarray(Y)),
+                                     mesh.devices.size)
+    G, C = _group_gram_fn(mesh)(jnp.asarray(Xp), jnp.asarray(Yp))
+    return GroupGram(G=G, C=C, n_samples=n)
+
+
+@functools.lru_cache(maxsize=8)
 def _moments_fn(mesh: jax.sharding.Mesh):
     data = mesh_mod.batch_sharded(mesh)
     repl = mesh_mod.replicated(mesh)

@@ -43,6 +43,7 @@ from channel_pruning_tpu.graph import rewrite
 from channel_pruning_tpu.graph.ir import Graph, LT
 from channel_pruning_tpu.ops import lowrank
 from channel_pruning_tpu.ops.forward import to_device_params
+from channel_pruning_tpu.ops.oracle import rel_error
 from channel_pruning_tpu.pipeline import prune as prune_mod
 from channel_pruning_tpu.sampling import rolling as rolling_mod
 from channel_pruning_tpu.sampling import sampler as sampling
@@ -194,7 +195,7 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                 channel_targets: Mapping[str, int] | None = None,
                 input_targets: Mapping[str, int] | None = None,
                 residual_compensate: bool = True,
-                checkpoint=None,
+                checkpoint=None, mesh=None,
                 verbose: bool = True) -> SolveResult:
     """Sequential whole-model channel pruning (reference R3's pruning arm,
     per-layer loop net.py:1406-1459).
@@ -303,7 +304,7 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             rank_tol=cfg.dic.rank_tol, alpha0=cfg.solve.alpha,
             subsample=cfg.lasso.subsample_rows, n_sweeps=cfg.lasso.n_sweeps,
             grid_size=cfg.lasso.grid_size, max_rounds=cfg.lasso.max_rounds,
-            ridge=cfg.solve.ls_ridge, seed=cfg.sample.seed)
+            ridge=cfg.solve.ls_ridge, seed=cfg.sample.seed, mesh=mesh)
         dt = timer.toc()
 
         # running graph: zero-scattered reconstruction (static shapes)
@@ -360,7 +361,7 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                 alpha0=cfg.solve.alpha, subsample=cfg.lasso.subsample_rows,
                 n_sweeps=cfg.lasso.n_sweeps, grid_size=cfg.lasso.grid_size,
                 max_rounds=cfg.lasso.max_rounds, ridge=cfg.solve.ls_ridge,
-                seed=cfg.sample.seed, group=True)
+                seed=cfg.sample.seed, group=True, mesh=mesh)
             dt = timer.toc()
             # running graph: zero-scatter back into the flat FC weight
             Wfull = np.zeros_like(Wr)
@@ -415,7 +416,7 @@ def ranks_for_speed(base_ranks: Mapping[str, int], speed_ratio: float,
 def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
              cache: sampling.FrozenCache, cfg: Config,
              ranks: Mapping[str, int], skip: tuple[str, ...] = ("conv1_1",),
-             checkpoint=None,
+             checkpoint=None, mesh=None,
              verbose: bool = True) -> SolveResult:
     """The R3 whole-model 3C pass (lib/net.py:1292-1471).
 
@@ -559,6 +560,20 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             print(f"[3c] {conv}: ITQ factors rejected by epscheck — "
                   "layer kept at spatial (VH) decomposition only")
             itq_degraded.append(conv)
+        # per-layer decomposition telemetry: relative error of the ReLU'd
+        # responses, VH-only vs final (VH+ITQ when it held) — the measured
+        # "3C beats spatial-only" evidence (reference prints the analogous
+        # Reconstruction Err inside ITQ, decompose.py:202)
+        relu_gt = np.maximum(np.asarray(Ygt, np.float32), 0.0)
+        rmse_vh = float(rel_error(relu_gt, np.maximum(feat, 0.0)))
+        if itq_ok:
+            with jax.default_matmul_precision("float32"):
+                feat2 = np.asarray(
+                    jnp.einsum("nchw,ochw->no", jnp.asarray(X, jnp.float32),
+                               jnp.asarray(itq.W12)) + jnp.asarray(itq.B))
+            rmse_final = float(rel_error(relu_gt, np.maximum(feat2, 0.0)))
+        else:
+            rmse_final = rmse_vh
         t_channel = timer.toc()
 
         # ---- output graph: conv -> V, insert H (and P when ITQ held) --
@@ -585,6 +600,7 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                 g_out, p_out, f"{conv}_H", f"{conv}_P", Pw, Pb,
                 stride=1, pad=(0, 0))
         reports.append(LayerReport(conv=conv, rank=rank,
+                                   rmse_before=rmse_vh, rmse_after=rmse_final,
                                    seconds=t_spatial + t_channel))
 
         # ---- (c) prune the next conv's inputs -------------------------
@@ -615,7 +631,7 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                 subsample=cfg.lasso.subsample_rows,
                 n_sweeps=cfg.lasso.n_sweeps, grid_size=cfg.lasso.grid_size,
                 max_rounds=cfg.lasso.max_rounds, ridge=cfg.solve.ls_ridge,
-                seed=cfg.sample.seed)
+                seed=cfg.sample.seed, mesh=mesh)
             t_prune = timer.toc()
             p_run[convnext]["W"] = _scatter_inputs(res.W, res.keep)
             p_run[convnext]["b"] = res.b

@@ -68,7 +68,7 @@ def select_and_reconstruct(X: np.ndarray, W2: np.ndarray, Y: np.ndarray,
                            n_sweeps: int = 200, grid_size: int = 16,
                            max_rounds: int = 8, ridge: float = 0.0,
                            seed: int = 0, group: bool = False,
-                           alter_iters: int = 0) -> PruneResult:
+                           alter_iters: int = 0, mesh=None) -> PruneResult:
     """One layer's LASSO selection + lstsq reconstruction.
 
     X: (N, c, kh, kw) consumer input patches (current net),
@@ -99,12 +99,13 @@ def select_and_reconstruct(X: np.ndarray, W2: np.ndarray, Y: np.ndarray,
             keep, alpha, _ = lasso.select_channels_group(
                 X.reshape(N, -1), Y, rank, alpha0=alpha0,
                 rank_tol=rank_tol, subsample=subsample, seed=seed,
-                grid_size=grid_size, max_rounds=max_rounds, n_sweeps=n_sweeps)
+                grid_size=grid_size, max_rounds=max_rounds, n_sweeps=n_sweeps,
+                mesh=mesh)
         else:
             keep, alpha, _ = lasso.select_channels(
                 X, W2, Y, rank, alpha0=alpha0, rank_tol=rank_tol,
                 subsample=subsample, seed=seed, grid_size=grid_size,
-                max_rounds=max_rounds, n_sweeps=n_sweeps)
+                max_rounds=max_rounds, n_sweeps=n_sweeps, mesh=mesh)
         if keep.sum() == 0:
             # degenerate layer (LASSO kills everything at every probed
             # alpha): fall back to magnitude selection so the graph stays
@@ -133,7 +134,14 @@ def select_and_reconstruct(X: np.ndarray, W2: np.ndarray, Y: np.ndarray,
     mask = jnp.asarray((np.arange(bucket) < n_keep)
                        .repeat(kh * kw).astype(np.float32))
     Xk = Xk * mask                       # zero the padded columns
-    W, b = lstsq.fit_linear(Xk, Yd, ridge=ridge)
+    if mesh is not None and mesh.devices.size > 1:
+        # FULL-N reconstruction is the big reduction (N x bucket*kh*kw):
+        # shard sample rows, psum the normal equations (SURVEY.md §5 —
+        # the sample dimension is this framework's sequence parallelism)
+        from channel_pruning_tpu.parallel.sharded import sharded_lstsq
+        W, b = sharded_lstsq(Xk, Yd, mesh, ridge=ridge)
+    else:
+        W, b = lstsq.fit_linear(Xk, Yd, ridge=ridge)
     W = np.asarray(W).reshape(Y.shape[1], bucket, kh, kw)[:, :n_keep]
     b = np.asarray(b)
 

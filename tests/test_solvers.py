@@ -195,6 +195,22 @@ def test_itq_matches_oracle_truncation(rng):
     assert oracle.rel_error(ru_o, ru_dev) < 5e-3
 
 
+def test_itq_device_loop_matches_host_stepped(rng):
+    """The fused on-device ITQ schedule must reproduce the host-stepped
+    variant (eigh per iteration on host in f64) on well-posed inputs."""
+    N, d, rank = 300, 24, 10
+    low = rng.normal(size=(N, rank)) @ rng.normal(size=(rank, d))
+    feature = (low + 0.05 * rng.normal(size=(N, d))).astype(np.float32)
+    gt = (low + 0.05 * rng.normal(size=(N, d))).astype(np.float32)
+    T_d, Ym_d, Um_d = lowrank._itq_solve_T(feature, gt, rank, (0.1, 1.0), (5, 3))
+    T_h, Ym_h, Um_h = lowrank._itq_solve_T_host(feature, gt, rank,
+                                                (0.1, 1.0), (5, 3))
+    G = feature - feature.mean(0)
+    ru_d = G @ np.asarray(T_d) + np.asarray(Um_d)
+    ru_h = G @ np.asarray(T_h) + np.asarray(Um_h)
+    assert oracle.rel_error(ru_h, ru_d) < 5e-3
+
+
 def test_itq_decompose_shapes_and_reconstruction(rng):
     N, d, rank, r_h, kw = 400, 16, 8, 6, 3
     H = rng.normal(size=(d, r_h, 1, kw)).astype(np.float32)
