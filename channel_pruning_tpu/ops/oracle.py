@@ -115,3 +115,23 @@ def yyt_spectrum(Y):
     G = Y.T @ Y / Y.shape[0]
     w = np.linalg.eigvalsh(0.5 * (G + G.T))
     return w[::-1]
+
+
+def yyt_components(Y, n_components=None):
+    """(P, Qᵀ) projection pair onto the top principal subspace of Y (N, d) —
+    the reference's YYT helper (decompose.py:61-79: sklearn PCA components_.T
+    and components_). P: (d, d'), QT: (d', d); P @ QT projects responses onto
+    the subspace."""
+    Yc = Y - Y.mean(0)
+    _, _, Vt = np.linalg.svd(Yc, full_matrices=False)
+    k = Vt.shape[0] if n_components is None else int(n_components)
+    return Vt[:k].T, Vt[:k]
+
+
+def nnls(A, B):
+    """Row-wise nonnegative least squares: X[i] = argmin_{x>=0} |A x - B[i]|
+    (decompose.py:361 — scipy.optimize.nnls mapped over B's rows)."""
+    from scipy import optimize
+
+    B = np.atleast_2d(B)
+    return np.stack([optimize.nnls(A, b)[0] for b in B])

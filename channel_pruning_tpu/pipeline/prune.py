@@ -174,17 +174,46 @@ def apply_pruning(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                                           result.keep, W=result.W, b=result.b)
     bottom = g.layer(consumer).bottoms[0]
     prod = producer_conv(g, bottom, before=consumer)
-    safe = False
-    if shrink_producer and prod is not None:
-        # safe only if every path from the producer reaches solely this
-        # consumer, and the producer is not a grouped/depthwise conv (whose
-        # output count is tied to its group structure)
-        safe = (g.layer(prod).conv_geometry()["group"] == 1
-                and _sole_consumer_chain(g, prod, consumer))
+    safe = depthwise = False
+    if shrink_producer and prod is not None and \
+            _sole_consumer_chain(g, prod, consumer):
+        group = g.layer(prod).conv_geometry()["group"]
+        # a grouped conv's output count is tied to its group structure, so
+        # only group==1 producers shrink freely — EXCEPT depthwise convs
+        # (group == channels), whose channels are independent: the keep mask
+        # passes through 1:1 and the shrink continues upstream (the Xception
+        # dw->pw chain; reference family list lib/cfgs.py:56-60)
+        safe = group == 1
+        depthwise = group > 1 and group == int(g.layer(prod).attr("num_output"))
     if safe:
         g, params = rewrite.prune_conv_outputs(g, params, prod, result.keep)
+    elif depthwise:
+        g, params = _shrink_depthwise_chain(g, params, prod, result.keep)
     else:
         g = rewrite.insert_select(g, bottom, consumer, result.keep)
+    return g, params
+
+
+def _shrink_depthwise_chain(graph: Graph,
+                            params: Mapping[str, Mapping[str, np.ndarray]],
+                            dw: str, keep: np.ndarray) -> tuple[Graph, dict]:
+    """Physically shrink a depthwise conv to the kept channels (W rows, BN/
+    Scale, num_output AND group), then propagate the same mask to ITS
+    producer: shrink a safe group==1 upstream conv's outputs, recurse
+    through stacked depthwise convs, or gate with a Select as a last
+    resort. This is what lifts Xception beyond gate-only pruning — the
+    dw 3x3 and the upstream pw 1x1 both lose the pruned channels."""
+    g, params = rewrite.prune_conv_outputs(graph, params, dw, keep)
+    g, params = rewrite.set_conv(g, params, dw, group=int(keep.sum()))
+    bottom = g.layer(dw).bottoms[0]
+    up = producer_conv(g, bottom, before=dw)
+    if up is not None and _sole_consumer_chain(g, up, dw):
+        geo = g.layer(up).conv_geometry()
+        if geo["group"] == 1:
+            return rewrite.prune_conv_outputs(g, params, up, keep)
+        if geo["group"] == int(g.layer(up).attr("num_output")):
+            return _shrink_depthwise_chain(g, params, up, keep)
+    g = rewrite.insert_select(g, bottom, dw, keep)
     return g, params
 
 

@@ -63,6 +63,54 @@ def test_cifar_resnet_structure():
     assert len(gp.convs) == 1 + 18
 
 
+def test_xception_depthwise_joint_shrink():
+    """channel_targets on a depthwise producer physically shrink the dw conv
+    (rows + group) AND its upstream pointwise conv — not just a gate
+    (VERDICT r1 #8: lift Xception beyond gate-only pruning)."""
+    from channel_pruning_tpu.pipeline import c3
+    from channel_pruning_tpu.sampling import freeze
+    from channel_pruning_tpu.sampling.sampler import resnet_share_key
+    from channel_pruning_tpu.utils.config import default_config
+    from channel_pruning_tpu.utils import flops
+
+    g0, p0 = build_tiny_xception(batch=2, image_size=32)
+    g, p = c3.preprocess(g0, p0)
+    rng = np.random.default_rng(4)
+    inputs = rng.normal(0, 1, (4, 2, 3, 32, 32)).astype(np.float32)
+    cache = freeze(g, to_device_params(p), inputs, n_points=6, seed=0,
+                   chunk_batches=2, share_key=resnet_share_key(g))
+    # sep1's dw reads the residual tensor (also feeds the Eltwise), so only
+    # sep2/sep3 have a fully-shrinkable dw->pw chain
+    targets = {}
+    for conv in g.convs:
+        if "mid" in conv and conv.endswith("_dw") and "_sep1" not in conv:
+            n_out = int(g.layer(conv).attr("num_output"))
+            targets[conv] = max(2, int(n_out * 0.6))
+    assert targets
+    res = c3.solve_prune(g, p, cache, default_config(),
+                         channel_targets=targets, verbose=False)
+    res.graph.validate()
+    from channel_pruning_tpu.graph.ir import LT
+    assert not res.graph.by_type(LT.SELECT), \
+        "joint shrink must not fall back to gates in the mid blocks"
+    for dw, t in targets.items():
+        geo = res.graph.layer(dw).conv_geometry()
+        kept = int(res.graph.layer(dw).attr("num_output"))
+        assert kept < int(g.layer(dw).attr("num_output"))
+        assert geo["group"] == kept                     # still depthwise
+        assert res.params[dw]["W"].shape[0] == kept
+        # upstream pointwise produced fewer channels too
+        from channel_pruning_tpu.pipeline.prune import producer_conv
+        up = producer_conv(res.graph, res.graph.layer(dw).bottoms[0], before=dw)
+        if up is not None:
+            assert res.params[up]["W"].shape[0] == kept
+    assert flops.total_flops(res.graph) < flops.total_flops(g)
+    x = inputs[0]
+    outs, _ = build_forward(res.graph, jit=False)(
+        to_device_params(res.params), {"data": x})
+    np.testing.assert_allclose(np.asarray(outs["prob"]).sum(-1), 1.0, rtol=1e-4)
+
+
 def test_xception_prunes_pointwise():
     """Depthwise-separable nets go through the prune pipeline: pointwise
     conv inputs are prunable like any conv."""

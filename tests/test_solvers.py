@@ -319,6 +319,20 @@ def test_rank_probes(rng):
     assert k <= 12
     w = oracle.yyt_spectrum(X)
     assert w[0] >= w[-1] and (w[10:] < w[0] * 1e-3).all()
+    # YYT projection pair: P @ QT reproduces a rank-10 signal
+    P, QT = oracle.yyt_components(X, 10)
+    assert P.shape == (64, 10) and QT.shape == (10, 64)
+    Xc = X - X.mean(0)
+    assert oracle.rel_error(Xc, Xc @ P @ QT) < 1e-4
+
+
+def test_nnls(rng):
+    A = np.abs(rng.normal(size=(40, 8))).astype(np.float64)
+    Xtrue = np.abs(rng.normal(size=(5, 8)))
+    B = Xtrue @ A.T
+    X = oracle.nnls(A, B)
+    assert X.shape == (5, 8) and (X >= 0).all()
+    np.testing.assert_allclose(X, Xtrue, rtol=1e-5, atol=1e-8)
 
 
 def test_full_solve_selection_agreement_with_reference_algorithm(rng):
