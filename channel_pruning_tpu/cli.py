@@ -147,12 +147,15 @@ def cmd_prune(args):
         print(f"[prune] loading frozen cache {cache_path}")
         cache = FrozenCache.load(cache_path)
     else:
+        from channel_pruning_tpu.utils.runtime import retry_on_worker_crash
+
         share = resnet_share_key(graph) if graph.sums else None
-        cache = freeze(graph, to_device_params(params), inputs,
-                       n_points=cfg.sample.n_points_per_layer,
-                       seed=cfg.sample.seed, share_key=share, labels=labels,
-                       chunk_batches=max(cfg.sample.device_batch
-                                         // inputs.shape[1], 1))
+        cache = retry_on_worker_crash(lambda: freeze(
+            graph, to_device_params(params), inputs,
+            n_points=cfg.sample.n_points_per_layer,
+            seed=cfg.sample.seed, share_key=share, labels=labels,
+            chunk_batches=max(cfg.sample.device_batch
+                              // inputs.shape[1], 1)))
         cache.save(cache_path)
         print(f"[prune] froze calibration cache -> {cache_path}")
 
@@ -309,7 +312,8 @@ def cmd_time(args):
     from channel_pruning_tpu.utils.profiling import time_forward
 
     graph, params = _load_model(args)
-    res = time_forward(graph, params, batch=args.batch, iters=args.iters)
+    res = time_forward(graph, params, batch=args.batch, iters=args.iters,
+                       compute_dtype=args.dtype)
     print(json.dumps(res))
     return res
 
@@ -395,6 +399,8 @@ def main(argv=None):
     p = sub.add_parser("time", help="forward latency/throughput (caffe time)")
     common(p)
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--dtype", default=None,
+                   help="compute dtype for the timed forward, e.g. bfloat16")
     p.set_defaults(fn=cmd_time)
 
     args = parser.parse_args(argv)

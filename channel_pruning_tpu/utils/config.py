@@ -81,7 +81,12 @@ class SolveConfig:
     itq_lambdas: tuple[float, ...] = (0.1, 1.0)
     itq_iters: tuple[int, ...] = (30, 20)
     cholesky_jitter: float = 1e-6
-    dtype: str = "float32"
+    # replay/extraction compute dtype. bf16 forwards were measured
+    # selection-identical to f32 with rMSE matching to 1e-3 (BENCH_NOTES)
+    # and roughly double the MXU rate; the SOLVER math itself always runs
+    # f32-precision (ops/lstsq.f32_matmuls). Override with
+    # --set solve.dtype=float32.
+    dtype: str = "bfloat16"
 
 
 @dataclass(frozen=True)

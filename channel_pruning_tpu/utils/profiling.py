@@ -24,13 +24,28 @@ def device_trace(logdir: str):
         jax.profiler.stop_trace()
 
 
+# Peak dense matmul throughput of one TPU v5e (lite) chip in bf16 —
+# the honest speed-of-light denominator for MFU (f32 inputs route through
+# the same MXU as bf16 passes).
+V5E_PEAK_FLOPS = 197e12
+
+
+def mfu(total_flops: float, seconds: float,
+        peak_flops: float = V5E_PEAK_FLOPS) -> float:
+    """Model FLOPs utilisation: achieved / peak (dimensionless, 0..1)."""
+    return total_flops / max(seconds, 1e-12) / peak_flops
+
+
 def time_forward(graph, params, batch: int | None = None, iters: int = 20,
-                 warmup: int = 3) -> dict[str, float]:
+                 warmup: int = 3, compute_dtype=None) -> dict[str, float]:
     """Latency/throughput of the jitted forward (the `caffe time` numbers).
 
-    Returns mean/p50/p95 latency (ms) and images/sec.
+    Returns mean/p50/p95 latency (ms), images/sec, and MFU vs the v5e bf16
+    peak (BASELINE metric; the model FLOP count is 2x the conv+fc multiply
+    count of utils/flops.py).
     """
     from channel_pruning_tpu.ops.forward import build_forward, to_device_params
+    from channel_pruning_tpu.utils import flops as flops_mod
 
     shape = graph.inputs[0].shape
     b = batch or shape[0]
@@ -38,7 +53,7 @@ def time_forward(graph, params, batch: int | None = None, iters: int = 20,
         np.random.default_rng(0).normal(0, 1, (b,) + tuple(shape[1:]))
         .astype(np.float32))
     dev = to_device_params(params)
-    fwd = build_forward(graph)
+    fwd = build_forward(graph, compute_dtype=compute_dtype)
     input_name = graph.inputs[0].name
 
     def run_once():
@@ -55,10 +70,13 @@ def time_forward(graph, params, batch: int | None = None, iters: int = 20,
         run_once()
         times.append(time.perf_counter() - t0)
     times = np.asarray(times)
+    # per-image forward FLOPs: 2 x multiplies (total_flops is batch-1)
+    flops_per_image = 2.0 * flops_mod.total_flops(graph)
     return {
         "batch": float(b),
         "mean_ms": float(times.mean() * 1e3),
         "p50_ms": float(np.percentile(times, 50) * 1e3),
         "p95_ms": float(np.percentile(times, 95) * 1e3),
         "images_per_sec": float(b / times.mean()),
+        "mfu": float(mfu(flops_per_image * b, times.mean())),
     }

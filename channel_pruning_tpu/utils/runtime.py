@@ -20,6 +20,28 @@ def enable_compilation_cache(path: str | None = None) -> None:
         pass  # older jax without the knobs
 
 
+def retry_on_worker_crash(fn, retries: int = 2, wait_s: float = 90.0):
+    """Run `fn()` and retry after a TPU-worker crash (the axon tunnel's
+    worker intermittently faults and restarts — reference-era analogue:
+    Worker.do hangs forever on a crashed child, lib/worker.py:64; here we
+    detect, wait for the restart, and re-run). `fn` must re-upload any
+    device state it needs (dead buffers from before the crash cannot be
+    reused)."""
+    import time
+
+    from jax.errors import JaxRuntimeError
+
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except JaxRuntimeError as exc:
+            if "UNAVAILABLE" not in str(exc) or attempt == retries:
+                raise
+            print(f"[runtime] TPU worker crashed ({exc}); waiting {wait_s:.0f}s "
+                  f"for restart (retry {attempt + 1}/{retries})")
+            time.sleep(wait_s)
+
+
 def force_cpu() -> None:
     """For scripts/debug: must run before first device use (jax is
     pre-imported in this image, so env vars are too late)."""

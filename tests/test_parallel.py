@@ -72,7 +72,7 @@ def test_solve_prune_on_mesh_matches_single_device(mesh):
     for k in res_solo.params:
         for kk, v in res_solo.params[k].items():
             np.testing.assert_allclose(np.asarray(res_mesh.params[k][kk]),
-                                       np.asarray(v), rtol=5e-2, atol=1e-2)
+                                       np.asarray(v), rtol=5e-2, atol=2e-2)
 
 
 def test_dp_train_step_runs_and_learns(mesh):
