@@ -170,7 +170,7 @@ def sample_features(graph: Graph, params, inputs: np.ndarray,
     ordered = sorted(tensors, key=lambda t: order.get(t, 0))
     groups = [tuple(ordered[i:i + max_group])
               for i in range(0, len(ordered), max_group)]
-    outs: dict[str, list[np.ndarray]] = {t: [] for t in tensors}
+    outs: dict[str, list] = {t: [] for t in tensors}
     for group in groups:
         fn = _feature_chunk_fn(graph, group, bs, compute_dtype)
         for lo, hi in _chunk_iter(inputs, chunk_batches):
@@ -178,9 +178,13 @@ def sample_features(graph: Graph, params, inputs: np.ndarray,
             ys = {t: jnp.asarray(plan[t][0][lo:hi]) for t in group}
             xs = {t: jnp.asarray(plan[t][1][lo:hi]) for t in group}
             res = fn(params, x, ys, xs)
+            # keep device handles — dispatch is async, so the next chunk's
+            # compute overlaps this chunk's transfer; fetching here would
+            # serialize every chunk on the tunnel round-trip
             for t in group:
-                outs[t].append(np.asarray(res[t]))
-    return {t: np.concatenate(v, axis=0) for t, v in outs.items()}
+                outs[t].append(res[t])
+    return {t: np.concatenate([np.asarray(v) for v in vs], axis=0)
+            for t, vs in outs.items()}
 
 
 def sample_patches(graph: Graph, params, inputs: np.ndarray, conv: str,
