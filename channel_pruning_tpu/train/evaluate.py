@@ -45,16 +45,22 @@ def evaluate(graph: Graph, params: Mapping, batches: Iterable, *,
     (the reference's `accuracy@1`/`accuracy@5` names, lib/cfgs.py:65)."""
     step = build_eval_step(graph, mesh)
     dev = jax.tree_util.tree_map(jnp.asarray, {k: dict(v) for k, v in params.items()})
-    n = t1 = t5 = 0
+    # keep the per-batch counts as DEVICE scalars: int(a) every step would
+    # serialize the whole eval on the host round-trip (a real 50k-image run
+    # over the tunnel pays ~25 ms latency per sync); fetch once at the end
+    n = 0
+    counts: list = []
     for i, (x, y) in enumerate(batches):
         if max_batches is not None and i >= max_batches:
             break
-        a, b = step(dev, jnp.asarray(x), jnp.asarray(y))
+        counts.append(step(dev, jnp.asarray(x), jnp.asarray(y)))
         n += x.shape[0]
-        t1 += int(a)
-        t5 += int(b)
         if verbose and (i + 1) % 50 == 0:
+            t1 = sum(int(a) for a, _ in counts)
+            t5 = sum(int(b) for _, b in counts)
             print(f"[eval] {i+1} batches: top1 {t1/n:.4f} top5 {t5/n:.4f}")
+    t1 = sum(int(a) for a, _ in counts)
+    t5 = sum(int(b) for _, b in counts)
     return {"accuracy@1": t1 / max(n, 1), "accuracy@5": t5 / max(n, 1),
             "n_images": n}
 
