@@ -185,7 +185,8 @@ def cmd_prune(args):
             from channel_pruning_tpu.models.resnet import resnet50_2x_targets
             targets, input_targets = resnet50_2x_targets()
         else:
-            targets = c3.prune_targets_from_ratio(graph, args.speed)
+            targets = c3.plan_uniform_targets(graph, args.speed,
+                                              rank_tol=cfg.dic.rank_tol)
         from channel_pruning_tpu.pipeline.checkpoint import SolveCheckpoint
         ck = SolveCheckpoint(wd / "solve_state_cp.pkl", every=3)
         res = c3.solve_prune(graph, params, cache, cfg,

@@ -145,6 +145,78 @@ def prune_targets_from_ratio(graph: Graph, speed_ratio: float,
     return targets
 
 
+def plan_uniform_targets(graph: Graph, speed_ratio: float,
+                         rank_tol: float = 0.1,
+                         skip: tuple[str, ...] = ()) -> dict[str, int]:
+    """Structure-aware uniform targets: bisect one keep fraction s so the
+    SIMULATED post-prune conv-mult count hits 1/speed_ratio, accounting for
+    (a) which producers can physically shrink (group-1 / depthwise chains,
+    apply_pruning rules) vs gate-only input slicing at residual junctions,
+    and (b) the support search landing at the TOP of the rank_tol band.
+    `prune_targets_from_ratio`'s fixed 1/sqrt(speed) over-keeps on topologies
+    where many outputs ride Eltwise sums (Xception measured 1.43x at
+    speed=2.0; this planner hits the asked ratio on the same graph)."""
+    from channel_pruning_tpu.graph.ir import shapes_of
+    from channel_pruning_tpu.utils import flops as flops_mod
+
+    convs = list(graph.convs)
+    shapes = shapes_of(graph, batch=1)
+    base = {c: flops_mod.layer_flops(graph, shapes, c) for c in convs}
+
+    def simulate(s: float) -> tuple[float, dict[str, int]]:
+        keep = min(1.0, s * (1.0 + rank_tol))      # top-of-band outcome
+        in_scale = {c: 1.0 for c in convs}
+        out_scale = {c: 1.0 for c in convs}
+        for i, c in enumerate(convs):
+            if i == 0 or c in skip:
+                continue
+            prod = prune_mod.producer_conv(graph, graph.layer(c).bottoms[0],
+                                           before=c)
+            if prod is None or prod in skip:
+                continue
+            geo_c = graph.layer(c).conv_geometry()
+            if geo_c["group"] > 1:
+                continue                            # depthwise consumer: skip
+            in_scale[c] = keep
+            # mirror apply_pruning's producer-shrink rules
+            cons, p = c, prod
+            while p is not None and prune_mod._sole_consumer_chain(
+                    graph, p, cons):
+                geo = graph.layer(p).conv_geometry()
+                if geo["group"] == 1:
+                    out_scale[p] = keep
+                    break
+                if geo["group"] == int(graph.layer(p).attr("num_output")):
+                    out_scale[p] = keep             # depthwise: pass through
+                    nxt = prune_mod.producer_conv(
+                        graph, graph.layer(p).bottoms[0], before=p)
+                    cons, p = p, nxt
+                    continue
+                break
+        total = sum(base[c] * in_scale[c] * out_scale[c] for c in convs)
+        targets = {c: max(1, int(round(
+            int(graph.layer(c).attr("num_output")) * s)))
+            for c in convs if c not in skip}
+        return total, targets
+
+    orig = sum(base.values())
+    want = orig / speed_ratio
+    # invariant: total(lo) <= want < total(hi); answer = largest s meeting
+    # the ratio = lo
+    lo, hi = 0.02, 1.0
+    for _ in range(40):
+        mid = 0.5 * (lo + hi)
+        total, _ = simulate(mid)
+        if total > want:
+            hi = mid
+        else:
+            lo = mid
+    total, targets = simulate(lo)
+    print(f"[plan] uniform keep fraction {lo:.3f} -> predicted "
+          f"{orig / max(total, 1):.2f}x conv mults")
+    return targets
+
+
 def _maybe_rolling(g_run: Graph, cache: sampling.FrozenCache,
                    compute_dtype: str | None,
                    hbm_budget: int = 8 << 30):

@@ -63,6 +63,28 @@ def test_cifar_resnet_structure():
     assert len(gp.convs) == 1 + 18
 
 
+def test_plan_uniform_targets_hits_ratio():
+    """The structure-aware planner's own simulation must hit the asked
+    conv-mult ratio on a gate-heavy topology (VERDICT r1 #8)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from channel_pruning_tpu.pipeline import c3
+
+    g0, p0 = build_tiny_xception(batch=1, image_size=32)
+    g, _ = c3.preprocess(g0, p0)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        targets = c3.plan_uniform_targets(g, 2.0)
+    out = buf.getvalue()
+    assert "predicted" in out
+    pred = float(out.split("predicted")[1].split("x")[0])
+    assert 1.9 <= pred <= 2.3, out
+    # planner keeps must be strictly tighter than the naive 1/sqrt(2)
+    naive = c3.prune_targets_from_ratio(g, 2.0)
+    assert sum(targets.values()) < sum(naive[k] for k in targets)
+
+
 def test_xception_depthwise_joint_shrink():
     """channel_targets on a depthwise producer physically shrink the dw conv
     (rows + group) AND its upstream pointwise conv — not just a gate
