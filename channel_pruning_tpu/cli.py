@@ -54,14 +54,23 @@ _PRELOAD_MAX_IMAGES = 20_000
 
 
 def _image_batches(args, graph, **kw):
-    """Batches from the imagefolder, sized to the model's input (crop = H of
-    the input spec, resize scaled with it). Small datasets are decoded +
-    preprocessed once and replayed from memory (epoch loops over the tunnel
-    would otherwise be decode-bound)."""
+    """Batches from the imagefolder or a Caffe LMDB (auto-detected by
+    data.mdb), sized to the model's input (crop = H of the input spec,
+    resize scaled with it). Small imagefolders are decoded + preprocessed
+    once and replayed from memory (epoch loops over the tunnel would
+    otherwise be decode-bound)."""
     from channel_pruning_tpu.data import pipeline as dp
 
     crop = graph.inputs[0].shape[2]
     batch = kw.pop("batch", args.batch)
+    d = Path(args.data_dir)
+    if d.name == "data.mdb" or (d / "data.mdb").exists():
+        from channel_pruning_tpu.data.lmdb import lmdb_batches
+        kw.pop("shuffle", None)
+        kw.pop("seed", None)
+        kw.pop("random_crop", None)
+        return lmdb_batches(d, batch, new_dim=_resize_dim(crop), crop=crop,
+                            **kw)
     n_files = len(dp._list_imagefolder(Path(args.data_dir))[0])
     if n_files <= _PRELOAD_MAX_IMAGES:
         key = (str(args.data_dir), crop)
@@ -350,6 +359,9 @@ def main(argv=None):
         p.add_argument("--work-dir", default="work")
         p.add_argument("--data-dir", default=None)
         p.add_argument("--seed", type=int, default=0)
+        p.add_argument("--platform", default=None,
+                       help="jax platform override (e.g. cpu) — useful for "
+                            "smokes while the TPU is busy")
         p.add_argument("--set", action="append", metavar="KEY=VAL",
                        help="nested config override, e.g. dic.keep=3.0")
 
@@ -405,6 +417,9 @@ def main(argv=None):
     p.set_defaults(fn=cmd_time)
 
     args = parser.parse_args(argv)
+    if getattr(args, "platform", None):
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     return args.fn(args)
 
 

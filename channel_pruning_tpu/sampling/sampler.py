@@ -82,11 +82,22 @@ def _dtype_of(name):
             "bf16": jnp.bfloat16}[name]
 
 
+# Set after a fused freeze program faults the TPU worker: later freezes in
+# the same process go straight to the grouped path instead of re-crashing it.
+_FUSE_DISABLED = False
+
+
 @functools.lru_cache(maxsize=32)
 def _feature_chunk_fn(graph: Graph, tensors: tuple[str, ...], batch_size: int,
-                      compute_dtype: str | None = None):
+                      compute_dtype: str | None = None, fuse: bool = False):
     """fn(params, x, ys, xs) -> {t: sampled rows}; x: (G*bs, C, H, W),
-    ys/xs: {t: (G, P)}. Compiled once per (graph, tensors, bs)."""
+    ys/xs: {t: (G, P)}. Compiled once per (graph, tensors, bs).
+
+    With `fuse=True` the per-tensor sampled rows are concatenated along the
+    channel axis into one output per row-count group (spatial tensors all
+    share rows = G*P*bs; dense ones share G*bs), so a whole-net freeze
+    transfers 1-2 buffers instead of one per tensor — the axon tunnel's
+    worker has been observed to fault on programs with many outputs."""
     input_name = graph.inputs[0].name
     graph = graph.ancestors_subgraph(tensors)   # skip layers past the captures
     cd = _dtype_of(compute_dtype)
@@ -107,7 +118,13 @@ def _feature_chunk_fn(graph: Graph, tensors: tuple[str, ...], batch_size: int,
         _, caps = run_graph(graph, params, {input_name: x},
                             capture_transforms={t: make_tf(t) for t in tensors},
                             compute_dtype=cd)
-        return caps
+        if not fuse:
+            return caps
+        groups: dict[int, list] = {}
+        for t in tensors:                       # deterministic: input order
+            groups.setdefault(caps[t].shape[0], []).append(caps[t])
+        return {rows: jnp.concatenate(vs, axis=1) if len(vs) > 1 else vs[0]
+                for rows, vs in groups.items()}
 
     return fn
 
@@ -152,22 +169,46 @@ def sample_features(graph: Graph, params, inputs: np.ndarray,
                     plan: Mapping[str, tuple[np.ndarray, np.ndarray]],
                     tensors: Sequence[str], chunk_batches: int = 25,
                     compute_dtype: str | None = None,
-                    max_group: int = 6) -> dict[str, np.ndarray]:
+                    max_group: int = 6, fuse: bool = True) -> dict[str, np.ndarray]:
     """Ground-truth response sampling: {tensor: (n_batches*P*bs, C)} (dense
     (n_images, D) for non-spatial tensors). inputs: (n_batches, bs, C, H, W).
     `compute_dtype="bfloat16"` runs conv math on the MXU in bf16 with f32
     accumulation (~2x throughput; replay-only — freeze ground truth should
     stay f32).
 
-    Captures are split into depth-ordered groups of <= `max_group` tensors,
-    one jitted program each: very large capture programs (whole-net freeze,
-    16 tensors) have been observed to fault the TPU worker, and ancestor
-    truncation makes the shallow groups nearly free anyway."""
+    Default path (`fuse=True`): ONE jitted program captures every tensor and
+    concatenates the sampled rows channel-wise per row-count group, so the
+    whole-net freeze is a single forward pass with 1-2 output buffers (the
+    axon TPU worker faults on programs with many outputs, not large ones).
+    Fallback: captures split into depth-ordered groups of <= `max_group`
+    tensors, one program each (ancestor truncation keeps shallow groups
+    cheap) — used automatically if the fused program crashes the worker."""
     tensors = tuple(tensors)
     bs = inputs.shape[1]
     # order by production depth so each group's subgraph is a prefix
     order = {t: i for i, l in enumerate(graph.layers) for t in l.tops}
     ordered = sorted(tensors, key=lambda t: order.get(t, 0))
+    global _FUSE_DISABLED
+    if fuse and not _FUSE_DISABLED and len(ordered) > 1:
+        from jax.errors import JaxRuntimeError
+        # two attempts: an UNAVAILABLE on the first try usually means the
+        # worker was already dead (it restarts in minutes); only a crash on
+        # a freshly-recovered device convicts the fused program itself
+        for attempt in range(2):
+            try:
+                return _sample_features_fused(graph, params, inputs, plan,
+                                              tuple(ordered), chunk_batches,
+                                              compute_dtype)
+            except JaxRuntimeError as exc:
+                if "UNAVAILABLE" not in str(exc):
+                    raise
+                from channel_pruning_tpu.utils.runtime import wait_for_device
+                print("[sampler] TPU worker crashed during fused freeze "
+                      f"(attempt {attempt + 1}/2); polling for restart")
+                wait_for_device()
+        _FUSE_DISABLED = True  # don't re-crash the worker in this process
+        print("[sampler] fused freeze failed twice; falling back to grouped "
+              "captures")
     groups = [tuple(ordered[i:i + max_group])
               for i in range(0, len(ordered), max_group)]
     outs: dict[str, list] = {t: [] for t in tensors}
@@ -185,6 +226,45 @@ def sample_features(graph: Graph, params, inputs: np.ndarray,
                 outs[t].append(res[t])
     return {t: np.concatenate([np.asarray(v) for v in vs], axis=0)
             for t, vs in outs.items()}
+
+
+def _sample_features_fused(graph: Graph, params, inputs: np.ndarray,
+                           plan: Mapping[str, tuple[np.ndarray, np.ndarray]],
+                           ordered: tuple[str, ...], chunk_batches: int,
+                           compute_dtype: str | None) -> dict[str, np.ndarray]:
+    """One-pass freeze: a single program gathers all tensors; outputs are
+    channel-concatenated per row-count group and split host-side (one tunnel
+    transfer per group per chunk)."""
+    bs = inputs.shape[1]
+    shapes = shapes_of(graph, batch=bs)
+    fn = _feature_chunk_fn(graph, ordered, bs, compute_dtype, fuse=True)
+    fused: dict[int, list] = {}
+    meta: dict[int, list[tuple[str, int]]] | None = None
+    for lo, hi in _chunk_iter(inputs, chunk_batches):
+        g = hi - lo
+        if meta is None:  # _chunk_iter yields uniform chunk sizes
+            meta = {}
+            for t in ordered:  # same key/order rule as the traced grouping
+                shp, p = shapes[t], plan[t][0].shape[1]
+                if len(shp) != 4 or p == 0:
+                    key, w = g * bs, int(np.prod(shp[1:]))
+                else:
+                    key, w = g * p * bs, int(shp[1])
+                meta.setdefault(key, []).append((t, w))
+        x = jnp.asarray(inputs[lo:hi].reshape((-1,) + inputs.shape[2:]))
+        ys = {t: jnp.asarray(plan[t][0][lo:hi]) for t in ordered}
+        xs = {t: jnp.asarray(plan[t][1][lo:hi]) for t in ordered}
+        res = fn(params, x, ys, xs)
+        for key in meta:  # device handles: async dispatch overlaps transfer
+            fused.setdefault(key, []).append(res[key])
+    out: dict[str, np.ndarray] = {}
+    for key, tw in meta.items():
+        whole = np.concatenate([np.asarray(v) for v in fused[key]], axis=0)
+        off = 0
+        for t, w in tw:
+            out[t] = whole[:, off:off + w]
+            off += w
+    return out
 
 
 def sample_patches(graph: Graph, params, inputs: np.ndarray, conv: str,

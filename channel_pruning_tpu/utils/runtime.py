@@ -20,15 +20,35 @@ def enable_compilation_cache(path: str | None = None) -> None:
         pass  # older jax without the knobs
 
 
-def retry_on_worker_crash(fn, retries: int = 2, wait_s: float = 90.0):
+def wait_for_device(max_wait_s: float = 600.0, poll_s: float = 30.0) -> bool:
+    """Block until the default device answers a trivial op (the axon worker
+    can take minutes to restart after a fault). Returns True if it came back
+    within `max_wait_s`."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from jax.errors import JaxRuntimeError
+
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        try:
+            jnp.zeros((), jnp.float32).block_until_ready()
+            return True
+        except JaxRuntimeError as exc:
+            if "UNAVAILABLE" not in str(exc) or time.monotonic() > deadline:
+                return False
+            print(f"[runtime] device unavailable; polling again in {poll_s:.0f}s")
+            time.sleep(poll_s)
+
+
+def retry_on_worker_crash(fn, retries: int = 2, wait_s: float = 600.0):
     """Run `fn()` and retry after a TPU-worker crash (the axon tunnel's
     worker intermittently faults and restarts — reference-era analogue:
     Worker.do hangs forever on a crashed child, lib/worker.py:64; here we
-    detect, wait for the restart, and re-run). `fn` must re-upload any
-    device state it needs (dead buffers from before the crash cannot be
-    reused)."""
-    import time
-
+    detect, poll until the device answers again (up to `wait_s`), and
+    re-run). `fn` must re-upload any device state it needs (dead buffers
+    from before the crash cannot be reused)."""
     from jax.errors import JaxRuntimeError
 
     for attempt in range(retries + 1):
@@ -37,9 +57,9 @@ def retry_on_worker_crash(fn, retries: int = 2, wait_s: float = 90.0):
         except JaxRuntimeError as exc:
             if "UNAVAILABLE" not in str(exc) or attempt == retries:
                 raise
-            print(f"[runtime] TPU worker crashed ({exc}); waiting {wait_s:.0f}s "
-                  f"for restart (retry {attempt + 1}/{retries})")
-            time.sleep(wait_s)
+            print(f"[runtime] TPU worker crashed ({exc}); polling for restart "
+                  f"(retry {attempt + 1}/{retries})")
+            wait_for_device(wait_s)
 
 
 def force_cpu() -> None:
