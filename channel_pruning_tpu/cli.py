@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 from pathlib import Path
 
@@ -163,10 +164,11 @@ def cmd_prune(args):
             graph, to_device_params(params), inputs,
             n_points=cfg.sample.n_points_per_layer,
             seed=cfg.sample.seed, share_key=share, labels=labels,
-            chunk_batches=max(cfg.sample.device_batch
+            chunk_batches=max(cfg.sample.freeze_device_batch
                               // inputs.shape[1], 1)))
         cache.save(cache_path)
-        print(f"[prune] froze calibration cache -> {cache_path}")
+        print(f"[prune] froze calibration cache -> {cache_path} "
+              f"({time.perf_counter() - t0:.1f}s incl. load)")
 
     is_vgg = "vgg" in graph.name
     if args.mode == "2c":
@@ -188,11 +190,16 @@ def cmd_prune(args):
         input_targets = None
         if args.channels:
             targets = json.loads(Path(args.channels).read_text())
+            cfg = cfg.replace_nested("solve.band", "bottom")
         elif is_vgg and len(graph.convs) == 13 and abs(args.speed - 5.0) < 1e-6:
             targets = VGG16_5X_CHANNELS
+            # released-structure table: the channel counts ARE the ground
+            # truth, so land on them instead of the top of the band
+            cfg = cfg.replace_nested("solve.band", "bottom")
         elif "resnet50" in graph.name and abs(args.speed - 2.0) < 1e-6:
             from channel_pruning_tpu.models.resnet import resnet50_2x_targets
             targets, input_targets = resnet50_2x_targets()
+            cfg = cfg.replace_nested("solve.band", "bottom")
         else:
             targets = c3.plan_uniform_targets(graph, args.speed,
                                               rank_tol=cfg.dic.rank_tol)
@@ -420,7 +427,34 @@ def main(argv=None):
     if getattr(args, "platform", None):
         import jax
         jax.config.update("jax_platforms", args.platform)
-    return args.fn(args)
+    wdog = None
+    if argv is None and getattr(args, "platform", None) != "cpu":
+        # hang detection for tunneled-TPU runs (see runtime.Watchdog)
+        from channel_pruning_tpu.utils.runtime import Watchdog
+        wdog = Watchdog(["-m", "channel_pruning_tpu.cli"] + sys.argv[1:]).start()
+    try:
+        return args.fn(args)
+    except Exception as exc:
+        # process-level crash recovery: a dead axon worker permanently
+        # invalidates this process's PJRT client, so reconnecting means
+        # re-exec'ing (every stage is resumable: frozen cache on disk,
+        # mid-solve checkpoint, orbax snapshots). Only from a real command
+        # line — never hijack a programmatic main(argv) call (tests).
+        from channel_pruning_tpu.utils.runtime import (
+            is_worker_crash, wait_for_device_subprocess)
+        if (argv is not None or not is_worker_crash(exc)
+                or type(exc).__name__ != "JaxRuntimeError"):
+            raise
+        import os
+        n = int(os.environ.get("CP_TPU_REEXEC", "0"))
+        if n >= 3 or not wait_for_device_subprocess():
+            raise
+        os.environ["CP_TPU_REEXEC"] = str(n + 1)
+        print(f"[cli] TPU worker died mid-run; re-executing to reconnect "
+              f"(attempt {n + 1}/3)")
+        sys.stdout.flush()
+        os.execv(sys.executable, [sys.executable, "-m",
+                                  "channel_pruning_tpu.cli"] + sys.argv[1:])
 
 
 if __name__ == "__main__":

@@ -149,13 +149,21 @@ def _solve_grid(G: jax.Array, b: jax.Array, alphas_n: jax.Array,
 def search_alpha(gram: LassoGram, rank: int, rank_tol: float,
                  alpha0: float = 1e-3, grid_size: int = 16,
                  max_rounds: int = 8, n_sweeps: int = 200,
-                 ) -> tuple[np.ndarray, float, int]:
+                 prefer: str = "top") -> tuple[np.ndarray, float, int]:
     """Find a support of size in [rank, rank + rank_tol*rank].
 
     Mirrors the reference's termination semantics (decompose.py:487-525:
     grow `right` until support < rank, then bisect on support size) but each
     round solves a whole geometric/linear grid of alphas on device in
     parallel. Returns (bool mask, alpha, support_size).
+
+    `prefer` picks which end of the tolerance band to refine toward:
+    * "top" — largest in-band support: more survivors give strictly better
+      reconstruction at the same speed target (the planner accounts for the
+      overshoot when hitting a requested ratio).
+    * "bottom" — smallest in-band support (== `rank` when reachable): for
+      runs targeting a released structure table, where the channel count
+      itself is the ground truth to reproduce.
     """
     c = int(gram.G.shape[0])
     if rank >= c:
@@ -163,38 +171,47 @@ def search_alpha(gram: LassoGram, rank: int, rank_tol: float,
     lbound = rank
     rbound = rank + (rank_tol if rank_tol >= 1 else rank_tol * rank)
     N = gram.n_samples
+    top = prefer == "top"
 
     # round 0: geometric sweep to bracket the target support
     alphas = alpha0 * (2.0 ** np.arange(-2, grid_size - 2, dtype=np.float64))
     lo, hi = 0.0, None
     best_cand = None  # (support, mask, alpha) — best in-band seen so far
+    refines = 0       # each refinement is a full grid solve — bound them
     for round_i in range(max_rounds):
         a = jnp.asarray(alphas * N, dtype=gram.G.dtype)
         betas = _solve_grid(gram.G, gram.b, a, n_sweeps=n_sweeps)
         supports = np.asarray(support_sizes(betas))
         in_band = np.where((supports >= lbound) & (supports <= rbound))[0]
         if in_band.size:
-            # Prefer the largest support in band: the reference's bisection
-            # approaches from too-large supports and stops at the first value
-            # <= rbound, i.e. near the TOP of the band — and more surviving
-            # channels give strictly better reconstruction at the same speed
-            # target. A coarse grid can land low in the band (bench r01 kept
-            # 162 when the top of the band held 166-168 with visibly better
-            # rMSE), so keep refining toward rbound instead of returning on
-            # the first in-band hit.
-            bi = in_band[np.argmax(supports[in_band])]
-            if best_cand is None or supports[bi] > best_cand[0]:
+            pick = np.argmax if top else np.argmin
+            bi = in_band[pick(supports[in_band])]
+            better = (best_cand is None or
+                      (supports[bi] > best_cand[0] if top
+                       else supports[bi] < best_cand[0]))
+            if better:
                 best_cand = (int(supports[bi]),
                              np.asarray(support_mask(betas[bi])),
                              float(alphas[bi]))
-            if best_cand[0] >= int(rbound):
+            if (best_cand[0] >= int(rbound)) if top else \
+                    (best_cand[0] <= lbound):
                 break
-            # refine between the best in-band alpha and the nearest smaller
-            # alpha that overshoots the band (support is ~decreasing in alpha)
-            over_i = np.where(supports > rbound)[0]
-            a_hi = best_cand[2]
-            a_lo = float(alphas[over_i[supports[over_i].argmin()]]) \
-                if over_i.size else max(lo, a_hi / 2.0)
+            refines += 1
+            if refines > 2:
+                break
+            # refine between the best in-band alpha and the nearest alpha
+            # just outside the band on the preferred side (support is
+            # ~decreasing in alpha)
+            if top:
+                over_i = np.where(supports > rbound)[0]
+                a_hi = best_cand[2]
+                a_lo = float(alphas[over_i[supports[over_i].argmin()]]) \
+                    if over_i.size else max(lo, a_hi / 2.0)
+            else:
+                under_i = np.where(supports < lbound)[0]
+                a_lo = best_cand[2]
+                a_hi = float(alphas[under_i[supports[under_i].argmax()]]) \
+                    if under_i.size else (hi if hi is not None else a_lo * 2.0)
             if a_hi - a_lo <= 1e-12 * max(a_hi, 1e-30):
                 break
             alphas = np.linspace(a_lo, a_hi, grid_size + 2,
@@ -227,7 +244,8 @@ def select_channels(X: np.ndarray, W2: np.ndarray, Y: np.ndarray, rank: int,
                     *, alpha0: float = 1e-3, rank_tol: float = 0.1,
                     subsample: int = 400, seed: int = 0, grid_size: int = 16,
                     max_rounds: int = 8, n_sweeps: int = 200,
-                    mesh=None) -> tuple[np.ndarray, float, int]:
+                    mesh=None, prefer: str = "top",
+                    ) -> tuple[np.ndarray, float, int]:
     """End-to-end channel selection for one layer.
 
     X: (N, c, kh, kw) patches, W2: (n, c, kh, kw), Y: (N, n) target responses.
@@ -250,7 +268,7 @@ def select_channels(X: np.ndarray, W2: np.ndarray, Y: np.ndarray, rank: int,
         gram = lasso_gram(Z, Ys.reshape(-1))
     return search_alpha(gram, rank, rank_tol, alpha0=alpha0,
                         grid_size=grid_size, max_rounds=max_rounds,
-                        n_sweeps=n_sweeps)
+                        n_sweeps=n_sweeps, prefer=prefer)
 
 
 # ---------------------------------------------------------------------------
@@ -327,19 +345,22 @@ def group_row_norms(Bs: jax.Array) -> jax.Array:
 def search_alpha_group(gram: GroupGram, rank: int, rank_tol: float,
                        alpha0: float = 1e-3, grid_size: int = 16,
                        max_rounds: int = 8, n_sweeps: int = 200,
-                       ) -> tuple[np.ndarray, float, int]:
+                       prefer: str = "top") -> tuple[np.ndarray, float, int]:
     """Group-lasso variant of `search_alpha`: same support-band termination
-    (decompose.py:487-525), supports counted on row norms."""
+    (decompose.py:487-525), supports counted on row norms; `prefer` picks
+    the band end as in `search_alpha`."""
     c = int(gram.G.shape[0])
     if rank >= c:
         return np.ones(c, bool), 0.0, c
     lbound = rank
     rbound = rank + (rank_tol if rank_tol >= 1 else rank_tol * rank)
     N = gram.n_samples
+    top = prefer == "top"
     alphas = alpha0 * (2.0 ** np.arange(-2, grid_size - 2, dtype=np.float64))
     lo, hi = 0.0, None
     norms = None
-    best_cand = None  # (support, mask, alpha) — refine toward top of band
+    best_cand = None  # (support, mask, alpha) — best at the preferred end
+    refines = 0       # each refinement is a full grid solve — bound them
     for _ in range(max_rounds):
         a = jnp.asarray(alphas * N, dtype=gram.G.dtype)
         Bs = group_cd_solve_grid(gram.G, gram.C, a, n_sweeps=n_sweeps)
@@ -349,15 +370,29 @@ def search_alpha_group(gram: GroupGram, rank: int, rank_tol: float,
         supports = masks.sum(axis=1)
         in_band = np.where((supports >= lbound) & (supports <= rbound))[0]
         if in_band.size:
-            bi = in_band[np.argmax(supports[in_band])]     # top of band (see above)
-            if best_cand is None or supports[bi] > best_cand[0]:
+            pick = np.argmax if top else np.argmin
+            bi = in_band[pick(supports[in_band])]
+            better = (best_cand is None or
+                      (supports[bi] > best_cand[0] if top
+                       else supports[bi] < best_cand[0]))
+            if better:
                 best_cand = (int(supports[bi]), masks[bi], float(alphas[bi]))
-            if best_cand[0] >= int(rbound):
+            if (best_cand[0] >= int(rbound)) if top else \
+                    (best_cand[0] <= lbound):
                 break
-            over_i = np.where(supports > rbound)[0]
-            a_hi = best_cand[2]
-            a_lo = float(alphas[over_i[supports[over_i].argmin()]]) \
-                if over_i.size else max(lo, a_hi / 2.0)
+            refines += 1
+            if refines > 2:
+                break
+            if top:
+                over_i = np.where(supports > rbound)[0]
+                a_hi = best_cand[2]
+                a_lo = float(alphas[over_i[supports[over_i].argmin()]]) \
+                    if over_i.size else max(lo, a_hi / 2.0)
+            else:
+                under_i = np.where(supports < lbound)[0]
+                a_lo = best_cand[2]
+                a_hi = float(alphas[under_i[supports[under_i].argmax()]]) \
+                    if under_i.size else (hi if hi is not None else a_lo * 2.0)
             if a_hi - a_lo <= 1e-12 * max(a_hi, 1e-30):
                 break
             alphas = np.linspace(a_lo, a_hi, grid_size + 2,
@@ -386,7 +421,7 @@ def select_channels_group(X: np.ndarray, Y: np.ndarray, rank: int, *,
                           alpha0: float = 1e-3, rank_tol: float = 0.1,
                           subsample: int = 400, seed: int = 0,
                           grid_size: int = 16, max_rounds: int = 8,
-                          n_sweeps: int = 200, mesh=None
+                          n_sweeps: int = 200, mesh=None, prefer: str = "top",
                           ) -> tuple[np.ndarray, float, int]:
     """Group-lasso channel selection for 1x1/FC consumers: X (N, c[,1,1]),
     Y (N, n). Row subsampling as in decompose.py:425."""
@@ -404,4 +439,4 @@ def select_channels_group(X: np.ndarray, Y: np.ndarray, rank: int, *,
                           jnp.asarray(Y[rows], jnp.float32))
     return search_alpha_group(gram, rank, rank_tol, alpha0=alpha0,
                               grid_size=grid_size, max_rounds=max_rounds,
-                              n_sweeps=n_sweeps)
+                              n_sweeps=n_sweeps, prefer=prefer)

@@ -376,7 +376,8 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             rank_tol=cfg.dic.rank_tol, alpha0=cfg.solve.alpha,
             subsample=cfg.lasso.subsample_rows, n_sweeps=cfg.lasso.n_sweeps,
             grid_size=cfg.lasso.grid_size, max_rounds=cfg.lasso.max_rounds,
-            ridge=cfg.solve.ls_ridge, seed=cfg.sample.seed, mesh=mesh)
+            ridge=cfg.solve.ls_ridge, seed=cfg.sample.seed, mesh=mesh,
+            prefer=cfg.solve.band)
         dt = timer.toc()
 
         # running graph: zero-scattered reconstruction (static shapes)
@@ -433,7 +434,8 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                 alpha0=cfg.solve.alpha, subsample=cfg.lasso.subsample_rows,
                 n_sweeps=cfg.lasso.n_sweeps, grid_size=cfg.lasso.grid_size,
                 max_rounds=cfg.lasso.max_rounds, ridge=cfg.solve.ls_ridge,
-                seed=cfg.sample.seed, group=True, mesh=mesh)
+                seed=cfg.sample.seed, group=True, mesh=mesh,
+                prefer=cfg.solve.band)
             dt = timer.toc()
             # running graph: zero-scatter back into the flat FC weight
             Wfull = np.zeros_like(Wr)
@@ -703,7 +705,7 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                 subsample=cfg.lasso.subsample_rows,
                 n_sweeps=cfg.lasso.n_sweeps, grid_size=cfg.lasso.grid_size,
                 max_rounds=cfg.lasso.max_rounds, ridge=cfg.solve.ls_ridge,
-                seed=cfg.sample.seed, mesh=mesh)
+                seed=cfg.sample.seed, mesh=mesh, prefer=cfg.solve.band)
             t_prune = timer.toc()
             p_run[convnext]["W"] = _scatter_inputs(res.W, res.keep)
             p_run[convnext]["b"] = res.b

@@ -68,7 +68,8 @@ def select_and_reconstruct(X: np.ndarray, W2: np.ndarray, Y: np.ndarray,
                            n_sweeps: int = 200, grid_size: int = 16,
                            max_rounds: int = 8, ridge: float = 0.0,
                            seed: int = 0, group: bool = False,
-                           alter_iters: int = 0, mesh=None) -> PruneResult:
+                           alter_iters: int = 0, mesh=None,
+                           prefer: str = "top") -> PruneResult:
     """One layer's LASSO selection + lstsq reconstruction.
 
     X: (N, c, kh, kw) consumer input patches (current net),
@@ -87,6 +88,8 @@ def select_and_reconstruct(X: np.ndarray, W2: np.ndarray, Y: np.ndarray,
     Yd = jnp.asarray(Y, jnp.float32)
     pred0 = jnp.einsum("nchw,ochw->no", Xd, jnp.asarray(W2, jnp.float32))
     rmse_before = float(rel_error(np.asarray(Yd), np.asarray(pred0)))
+    from channel_pruning_tpu.utils.runtime import heartbeat
+    heartbeat()  # per-layer watchdog progress mark
 
     if rank >= c:
         keep = np.ones(c, bool)
@@ -100,12 +103,13 @@ def select_and_reconstruct(X: np.ndarray, W2: np.ndarray, Y: np.ndarray,
                 X.reshape(N, -1), Y, rank, alpha0=alpha0,
                 rank_tol=rank_tol, subsample=subsample, seed=seed,
                 grid_size=grid_size, max_rounds=max_rounds, n_sweeps=n_sweeps,
-                mesh=mesh)
+                mesh=mesh, prefer=prefer)
         else:
             keep, alpha, _ = lasso.select_channels(
                 X, W2, Y, rank, alpha0=alpha0, rank_tol=rank_tol,
                 subsample=subsample, seed=seed, grid_size=grid_size,
-                max_rounds=max_rounds, n_sweeps=n_sweeps, mesh=mesh)
+                max_rounds=max_rounds, n_sweeps=n_sweeps, mesh=mesh,
+                prefer=prefer)
         if keep.sum() == 0:
             # degenerate layer (LASSO kills everything at every probed
             # alpha): fall back to magnitude selection so the graph stays

@@ -39,6 +39,7 @@ from channel_pruning_tpu.graph.ir import Graph, LT, shapes_of
 from channel_pruning_tpu.ops.forward import run_graph
 from channel_pruning_tpu.ops.patches import (
     gather_channels_at_points, gather_patches_at_points)
+from channel_pruning_tpu.utils.runtime import heartbeat as runtime_heartbeat
 
 
 # ---------------------------------------------------------------------------
@@ -189,32 +190,34 @@ def sample_features(graph: Graph, params, inputs: np.ndarray,
     order = {t: i for i, l in enumerate(graph.layers) for t in l.tops}
     ordered = sorted(tensors, key=lambda t: order.get(t, 0))
     global _FUSE_DISABLED
-    if fuse and not _FUSE_DISABLED and len(ordered) > 1:
+    import os
+    if (fuse and not _FUSE_DISABLED and len(ordered) > 1
+            and not os.environ.get("CP_TPU_NO_FUSE")):
         from jax.errors import JaxRuntimeError
-        # two attempts: an UNAVAILABLE on the first try usually means the
-        # worker was already dead (it restarts in minutes); only a crash on
-        # a freshly-recovered device convicts the fused program itself
-        for attempt in range(2):
-            try:
-                return _sample_features_fused(graph, params, inputs, plan,
-                                              tuple(ordered), chunk_batches,
-                                              compute_dtype)
-            except JaxRuntimeError as exc:
-                if "UNAVAILABLE" not in str(exc):
-                    raise
-                from channel_pruning_tpu.utils.runtime import wait_for_device
-                print("[sampler] TPU worker crashed during fused freeze "
-                      f"(attempt {attempt + 1}/2); polling for restart")
-                wait_for_device()
-        _FUSE_DISABLED = True  # don't re-crash the worker in this process
-        print("[sampler] fused freeze failed twice; falling back to grouped "
-              "captures")
+        try:
+            return _sample_features_fused(graph, params, inputs, plan,
+                                          tuple(ordered), chunk_batches,
+                                          compute_dtype)
+        except JaxRuntimeError as exc:
+            from channel_pruning_tpu.utils.runtime import is_worker_crash
+            if not is_worker_crash(exc):
+                raise
+            # a dead worker invalidates this process's client permanently
+            # (fresh processes reconnect instantly; in-process polls never
+            # do) — mark fused-off in the environment so the CLI's re-exec
+            # recovery (cli.main) comes back up on the grouped path
+            _FUSE_DISABLED = True
+            os.environ["CP_TPU_NO_FUSE"] = "1"
+            print("[sampler] TPU worker died during fused freeze; disabling "
+                  "the fused path for recovery")
+            raise
     groups = [tuple(ordered[i:i + max_group])
               for i in range(0, len(ordered), max_group)]
     outs: dict[str, list] = {t: [] for t in tensors}
     for group in groups:
         fn = _feature_chunk_fn(graph, group, bs, compute_dtype)
         for lo, hi in _chunk_iter(inputs, chunk_batches):
+            runtime_heartbeat()
             x = jnp.asarray(inputs[lo:hi].reshape((-1,) + inputs.shape[2:]))
             ys = {t: jnp.asarray(plan[t][0][lo:hi]) for t in group}
             xs = {t: jnp.asarray(plan[t][1][lo:hi]) for t in group}
@@ -241,6 +244,7 @@ def _sample_features_fused(graph: Graph, params, inputs: np.ndarray,
     fused: dict[int, list] = {}
     meta: dict[int, list[tuple[str, int]]] | None = None
     for lo, hi in _chunk_iter(inputs, chunk_batches):
+        runtime_heartbeat()
         g = hi - lo
         if meta is None:  # _chunk_iter yields uniform chunk sizes
             meta = {}
@@ -285,6 +289,7 @@ def sample_patches(graph: Graph, params, inputs: np.ndarray, conv: str,
     ys_all, xs_all = plan[top]
     outs = []
     for lo, hi in _chunk_iter(inputs, chunk_batches):
+        runtime_heartbeat()
         x = jnp.asarray(inputs[lo:hi].reshape((-1,) + inputs.shape[2:]))
         outs.append(np.asarray(fn(params, x, jnp.asarray(ys_all[lo:hi]),
                                   jnp.asarray(xs_all[lo:hi]))))
@@ -416,6 +421,7 @@ def channel_stats(graph: Graph, params, inputs: np.ndarray,
     fn = _stats_chunk_fn(graph, tensors)
     acc: dict[str, list] = {t: [0.0, 0.0, 0.0] for t in tensors}
     for lo, hi in _chunk_iter(inputs, chunk_batches):
+        runtime_heartbeat()
         x = jnp.asarray(inputs[lo:hi].reshape((-1,) + inputs.shape[2:]))
         res = fn(params, x)
         for t in tensors:
@@ -460,6 +466,7 @@ def sample_dense(graph: Graph, params, inputs: np.ndarray,
     fn = _dense_chunk_fn(graph, tensors)
     outs: dict[str, list[np.ndarray]] = {t: [] for t in tensors}
     for lo, hi in _chunk_iter(inputs, chunk_batches):
+        runtime_heartbeat()
         x = jnp.asarray(inputs[lo:hi].reshape((-1,) + inputs.shape[2:]))
         res = fn(params, x)
         for t in tensors:

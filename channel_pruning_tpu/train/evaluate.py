@@ -48,9 +48,11 @@ def evaluate(graph: Graph, params: Mapping, batches: Iterable, *,
     # keep the per-batch counts as DEVICE scalars: int(a) every step would
     # serialize the whole eval on the host round-trip (a real 50k-image run
     # over the tunnel pays ~25 ms latency per sync); fetch once at the end
+    from channel_pruning_tpu.utils.runtime import heartbeat
     n = 0
     counts: list = []
     for i, (x, y) in enumerate(batches):
+        heartbeat()
         if max_batches is not None and i >= max_batches:
             break
         counts.append(step(dev, jnp.asarray(x), jnp.asarray(y)))

@@ -123,9 +123,11 @@ def finetune(graph: Graph, params: Mapping, data_iter, cfg: FinetuneConfig,
     if snapshot_dir is not None:
         from channel_pruning_tpu.train import checkpoint as ckpt_mod
         ckpt = ckpt_mod.Checkpointer(snapshot_dir)
+    from channel_pruning_tpu.utils.runtime import heartbeat
     for i, (x, y) in enumerate(data_iter):
         if i >= n:
             break
+        heartbeat()
         key, sub = jax.random.split(key)
         state, metrics = step_fn(state, jnp.asarray(x), jnp.asarray(y), sub)
         if log_every and (i + 1) % log_every == 0:

@@ -68,6 +68,10 @@ class SampleConfig:
     device_batch: int = 100      # images per device forward step: bounded so
     # two adjacent VGG-scale feature maps (~1.3 GB each at 100 images) plus
     # weights fit HBM with the inline capture-gather (ops/forward.py)
+    freeze_device_batch: int = 250  # images per step for the whole-net fused
+    # freeze program ONLY: the axon worker reproducibly dies executing that
+    # program at 100 images/step but is stable at 250 (measured both ways);
+    # HBM still fits (2 adjacent conv1-scale maps at 250 imgs = 6.4 GB)
 
 
 @dataclass(frozen=True)
@@ -81,6 +85,12 @@ class SolveConfig:
     itq_lambdas: tuple[float, ...] = (0.1, 1.0)
     itq_iters: tuple[int, ...] = (30, 20)
     cholesky_jitter: float = 1e-6
+    # which end of the rank_tol support band the alpha search refines to:
+    # "top" (default) keeps the most channels the speed target allows (best
+    # rMSE; the planner bakes the overshoot into its targets), "bottom"
+    # lands on the exact requested count — used when reproducing a released
+    # structure table where the channel count itself is ground truth
+    band: str = "top"
     # replay/extraction compute dtype. bf16 forwards were measured
     # selection-identical to f32 with rMSE matching to 1e-3 (BENCH_NOTES)
     # and roughly double the MXU rate; the SOLVER math itself always runs

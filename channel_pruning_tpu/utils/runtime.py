@@ -20,13 +20,41 @@ def enable_compilation_cache(path: str | None = None) -> None:
         pass  # older jax without the knobs
 
 
+def is_worker_crash(exc: BaseException) -> bool:
+    """True if `exc` looks like a dead/restarting axon TPU worker. The
+    tunnel surfaces crashes as UNAVAILABLE ("worker process crashed or
+    restarted") and a half-restarted worker as FAILED_PRECONDITION."""
+    s = str(exc)
+    return ("UNAVAILABLE" in s or "FAILED_PRECONDITION" in s
+            or "worker process crashed" in s)
+
+
+def _clear_backends() -> None:
+    """Drop the cached PJRT client so the next op dials a fresh connection.
+    A crashed axon worker invalidates the live client permanently — a new
+    process connects instantly while the old one polls UNAVAILABLE forever —
+    so in-process recovery requires re-creating the client."""
+    import jax
+
+    try:
+        jax.extend.backend.clear_backends()
+    except Exception:
+        try:
+            from jax._src import xla_bridge
+            xla_bridge._clear_backends()
+            jax.clear_caches()
+        except Exception:
+            pass
+
+
 def wait_for_device(max_wait_s: float = 600.0, poll_s: float = 30.0) -> bool:
     """Block until the default device answers a trivial op (the axon worker
-    can take minutes to restart after a fault). Returns True if it came back
-    within `max_wait_s`."""
+    can take minutes to restart after a fault). Each retry re-creates the
+    PJRT client (see _clear_backends). Returns True if the device came back
+    within `max_wait_s`. All previously-created device arrays are dead
+    after recovery — callers must re-upload."""
     import time
 
-    import jax
     import jax.numpy as jnp
     from jax.errors import JaxRuntimeError
 
@@ -38,28 +66,126 @@ def wait_for_device(max_wait_s: float = 600.0, poll_s: float = 30.0) -> bool:
         except JaxRuntimeError as exc:
             if "UNAVAILABLE" not in str(exc) or time.monotonic() > deadline:
                 return False
-            print(f"[runtime] device unavailable; polling again in {poll_s:.0f}s")
+            print(f"[runtime] device unavailable; reconnecting in {poll_s:.0f}s")
             time.sleep(poll_s)
+            _clear_backends()
 
 
-def retry_on_worker_crash(fn, retries: int = 2, wait_s: float = 600.0):
+def wait_for_device_subprocess(max_wait_s: float = 900.0,
+                               poll_s: float = 30.0) -> bool:
+    """Probe the device from a FRESH python process (the only reliable test:
+    a crashed worker leaves this process's client dead forever while new
+    processes reconnect the moment the worker is back)."""
+    import subprocess
+    import sys
+    import time
+
+    deadline = time.monotonic() + max_wait_s
+    probe = "import jax; jax.devices()"
+    while time.monotonic() < deadline:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe], timeout=120,
+                               capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"[runtime] device still down; probing again in {poll_s:.0f}s")
+        time.sleep(poll_s)
+    return False
+
+
+def retry_on_worker_crash(fn, retries: int = 2, wait_s: float = 180.0):
     """Run `fn()` and retry after a TPU-worker crash (the axon tunnel's
     worker intermittently faults and restarts — reference-era analogue:
-    Worker.do hangs forever on a crashed child, lib/worker.py:64; here we
-    detect, poll until the device answers again (up to `wait_s`), and
-    re-run). `fn` must re-upload any device state it needs (dead buffers
-    from before the crash cannot be reused)."""
+    Worker.do hangs forever on a crashed child, lib/worker.py:64). If the
+    in-process client cannot be revived within `wait_s` (the usual case —
+    a dead worker invalidates it permanently), the error propagates so the
+    process-level recovery (cli.main re-exec) takes over. `fn` must
+    re-upload any device state it needs."""
     from jax.errors import JaxRuntimeError
 
     for attempt in range(retries + 1):
         try:
             return fn()
         except JaxRuntimeError as exc:
-            if "UNAVAILABLE" not in str(exc) or attempt == retries:
+            if not is_worker_crash(exc) or attempt == retries:
                 raise
             print(f"[runtime] TPU worker crashed ({exc}); polling for restart "
                   f"(retry {attempt + 1}/{retries})")
-            wait_for_device(wait_s)
+            if not wait_for_device(wait_s):
+                raise  # client unrecoverable in-process -> re-exec recovery
+
+
+class Watchdog:
+    """Hang detection for tunneled-TPU runs: device ops against a wedged
+    axon worker can block forever in native code (no exception ever
+    surfaces — the reference had the same failure shape, a crashed Caffe
+    child hanging Worker.do on queue.get(), lib/worker.py:64). A daemon
+    thread watches a heartbeat; if no progress for `limit_s` it re-execs
+    the process (execve replaces all threads, including the hung one), and
+    the run resumes from the frozen cache / solve checkpoint.
+
+    Only arms when explicitly started (CLI does so for device runs) and
+    respects the CP_TPU_REEXEC cap shared with cli.main's crash recovery.
+    """
+
+    _instance = None
+
+    def __init__(self, argv, limit_s: float = 600.0, poll_s: float = 30.0):
+        import threading
+        import time
+
+        self.argv = list(argv)
+        self.limit_s = limit_s
+        self.poll_s = poll_s
+        self._last = time.monotonic()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._watch, daemon=True)
+
+    def start(self):
+        Watchdog._instance = self
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        Watchdog._instance = None
+
+    def beat(self):
+        import time
+
+        self._last = time.monotonic()
+
+    def _watch(self):
+        import os
+        import sys
+        import time
+
+        while not self._stop.wait(self.poll_s):
+            idle = time.monotonic() - self._last
+            if idle < self.limit_s:
+                continue
+            n = int(os.environ.get("CP_TPU_REEXEC", "0"))
+            if n >= 3:
+                print(f"[watchdog] no progress for {idle:.0f}s and re-exec "
+                      "budget exhausted; giving up")
+                os._exit(3)
+            print(f"[watchdog] no progress for {idle:.0f}s (hung device op?); "
+                  "re-executing to reconnect")
+            sys.stdout.flush()
+            if not wait_for_device_subprocess():
+                os._exit(3)
+            os.environ["CP_TPU_REEXEC"] = str(n + 1)
+            os.execv(sys.executable, [sys.executable] + self.argv)
+
+
+def heartbeat() -> None:
+    """Record forward progress (called from chunk/layer/step loops). No-op
+    unless a Watchdog is armed."""
+    wd = Watchdog._instance
+    if wd is not None:
+        wd.beat()
 
 
 def force_cpu() -> None:

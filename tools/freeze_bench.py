@@ -21,6 +21,9 @@ def main():
     ap.add_argument("--mode", default="both", choices=["fused", "grouped", "both"])
     ap.add_argument("--images", type=int, default=500)
     ap.add_argument("--bs", type=int, default=10)
+    ap.add_argument("--chunk", type=int, default=25,
+                    help="batches per device step (CLI uses "
+                         "sample.device_batch // bs = 10 by default)")
     args = ap.parse_args()
 
     from channel_pruning_tpu.models.vgg import build_vgg16, init_params
@@ -47,11 +50,13 @@ def main():
         shapes = shapes_of(g, batch=args.bs)
         plan = sampler.make_point_plan(shapes, names, n_batches, 10, 0)
         # warm compile with a 1-chunk slice, then time the full pass
-        sampler.sample_features(g, dparams, inputs[:25], plan={
-            t: (p[0][:25], p[1][:25]) for t, p in plan.items()},
-            tensors=names, fuse=(mode == "fused"))
+        ck = args.chunk
+        sampler.sample_features(g, dparams, inputs[:ck], plan={
+            t: (p[0][:ck], p[1][:ck]) for t, p in plan.items()},
+            tensors=names, chunk_batches=ck, fuse=(mode == "fused"))
         t0 = time.perf_counter()
         feats = sampler.sample_features(g, dparams, inputs, plan, names,
+                                        chunk_batches=ck,
                                         fuse=(mode == "fused"))
         dt = time.perf_counter() - t0
         results[mode] = (dt, {t: v.shape for t, v in feats.items()})
