@@ -114,11 +114,30 @@ def sklearn_solve(X, W2, Y, rank, *, subsample=400, seed=0, rank_tol=0.1):
     return dt, int(keep.sum()), err, np.asarray(keep)
 
 
+def forward_mfu():
+    """bf16 VGG-16 forward MFU at batch 64 (the `caffe time` surface) —
+    recorded so every round's BENCH captures compute efficiency, not just
+    solver latency. Kept cheap: compile is in the persistent cache."""
+    try:
+        from channel_pruning_tpu.models.vgg import build_vgg16, init_params
+        from channel_pruning_tpu.utils.profiling import time_forward
+
+        g = build_vgg16(batch=64)
+        res = time_forward(g, init_params(g, seed=0), iters=8, warmup=2,
+                           compute_dtype="bfloat16")
+        return {"mean_ms": round(res["mean_ms"], 2),
+                "images_per_sec": round(res["images_per_sec"], 1),
+                "mfu": round(res["mfu"], 4)}
+    except Exception as exc:  # never let the MFU probe sink the headline
+        return {"error": str(exc)[:120]}
+
+
 def main():
     from channel_pruning_tpu.utils.runtime import enable_compilation_cache
     enable_compilation_cache()
     X, W2, Y, rank = make_problem()
     dev_t, dev_keep, dev_err, dev_mask = device_solve(X, W2, Y, rank)
+    fwd = forward_mfu()
     sk_t, sk_keep, sk_err, sk_mask = sklearn_solve(X, W2, Y, rank)
     iou = float((dev_mask & sk_mask).sum() / max((dev_mask | sk_mask).sum(), 1))
     print(json.dumps({
@@ -135,6 +154,7 @@ def main():
                                        "rmse": round(sk_err, 4)},
             "selection_iou": round(iou, 4),
             "rmse_vs_sklearn": round(dev_err / sk_err, 4),
+            "forward_bf16_b64": fwd,
         },
     }))
 

@@ -177,11 +177,21 @@ def search_alpha(gram: LassoGram, rank: int, rank_tol: float,
     alphas = alpha0 * (2.0 ** np.arange(-2, grid_size - 2, dtype=np.float64))
     lo, hi = 0.0, None
     best_cand = None  # (support, mask, alpha) — best in-band seen so far
+    best_over = None  # (support, |beta|, alpha) — smallest support >= rank,
+    #                   kept for the exact-count trim on the "bottom" path
     refines = 0       # each refinement is a full grid solve — bound them
     for round_i in range(max_rounds):
         a = jnp.asarray(alphas * N, dtype=gram.G.dtype)
         betas = _solve_grid(gram.G, gram.b, a, n_sweeps=n_sweeps)
         supports = np.asarray(support_sizes(betas))
+        if not top:
+            ge = np.where(supports >= lbound)[0]
+            if ge.size:
+                gi = ge[supports[ge].argmin()]
+                if best_over is None or supports[gi] < best_over[0]:
+                    best_over = (int(supports[gi]),
+                                 np.abs(np.asarray(betas[gi])),
+                                 float(alphas[gi]))
         in_band = np.where((supports >= lbound) & (supports <= rbound))[0]
         if in_band.size:
             pick = np.argmax if top else np.argmin
@@ -231,6 +241,29 @@ def search_alpha(gram: LassoGram, rank: int, rank_tol: float,
             lo = hi / (2.0 ** grid_size)
         # refine linearly inside the bracket
         alphas = np.linspace(lo, hi, grid_size + 2, dtype=np.float64)[1:-1]
+    if not top and (best_cand is None or best_cand[0] != lbound):
+        # exact-count path for released-table structural fidelity:
+        # (a) no alpha hits `rank` exactly (support jumps over the band) —
+        #     take the smallest support >= rank and drop its smallest-|beta|
+        #     channels (the standard LASSO-path order);
+        # (b) the reachable support tops out BELOW rank (dead/degenerate
+        #     channels produce all-zero response columns, common on
+        #     random-weight nets) — top up with the highest-energy excluded
+        #     channels (they reconstruct to ~0 weight, structure preserved).
+        if best_over is not None:
+            absb, alpha = best_over[1], best_over[2]
+            mask = np.zeros(c, bool)
+            mask[np.argsort(-absb)[:rank]] = True
+            return mask, alpha, int(mask.sum())
+        dist = np.abs(supports - lbound)
+        bi = int(np.argmin(dist))
+        mask = np.asarray(support_mask(betas[bi])).copy()
+        short = rank - int(mask.sum())
+        if short > 0:
+            energy = np.where(mask, -np.inf,
+                              np.asarray(jnp.diagonal(gram.G), np.float64))
+            mask[np.argsort(-energy)[:short]] = True
+        return mask, float(alphas[bi]), int(mask.sum())
     if best_cand is not None:
         return best_cand[1], best_cand[2], best_cand[0]
     # fall back to nearest support
@@ -360,6 +393,7 @@ def search_alpha_group(gram: GroupGram, rank: int, rank_tol: float,
     lo, hi = 0.0, None
     norms = None
     best_cand = None  # (support, mask, alpha) — best at the preferred end
+    best_over = None  # (support, row norms, alpha) for the exact-count trim
     refines = 0       # each refinement is a full grid solve — bound them
     for _ in range(max_rounds):
         a = jnp.asarray(alphas * N, dtype=gram.G.dtype)
@@ -368,6 +402,13 @@ def search_alpha_group(gram: GroupGram, rank: int, rank_tol: float,
         scale = np.maximum(norms.max(axis=1, keepdims=True), 1e-30)
         masks = norms > 1e-6 * scale
         supports = masks.sum(axis=1)
+        if not top:
+            ge = np.where(supports >= lbound)[0]
+            if ge.size:
+                gi = ge[supports[ge].argmin()]
+                if best_over is None or supports[gi] < best_over[0]:
+                    best_over = (int(supports[gi]), norms[gi],
+                                 float(alphas[gi]))
         in_band = np.where((supports >= lbound) & (supports <= rbound))[0]
         if in_band.size:
             pick = np.argmax if top else np.argmin
@@ -410,6 +451,22 @@ def search_alpha_group(gram: GroupGram, rank: int, rank_tol: float,
         if not over.size:
             lo = hi / (2.0 ** grid_size)
         alphas = np.linspace(lo, hi, grid_size + 2, dtype=np.float64)[1:-1]
+    if not top and (best_cand is None or best_cand[0] != lbound):
+        # exact-count trim / top-up by row-norm order (see search_alpha)
+        if best_over is not None:
+            rn, alpha = best_over[1], best_over[2]
+            mask = np.zeros(c, bool)
+            mask[np.argsort(-rn)[:rank]] = True
+            return mask, alpha, int(mask.sum())
+        dist = np.abs(supports - lbound)
+        bi = int(np.argmin(dist))
+        mask = np.asarray(masks[bi]).copy()
+        short = rank - int(mask.sum())
+        if short > 0:
+            energy = np.where(mask, -np.inf,
+                              np.asarray(jnp.diagonal(gram.G), np.float64))
+            mask[np.argsort(-energy)[:short]] = True
+        return mask, float(alphas[bi]), int(mask.sum())
     if best_cand is not None:
         return best_cand[1], best_cand[2], best_cand[0]
     dist = np.minimum(np.abs(supports - lbound), np.abs(supports - rbound))

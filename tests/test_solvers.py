@@ -112,23 +112,18 @@ def test_search_alpha_refines_to_top_of_band(rng):
 
 
 def test_search_alpha_bottom_band(rng):
-    """prefer='bottom' lands at (or at most one above) the exact requested
-    count — the mode used when reproducing a released structure table, where
-    the channel count itself is the ground truth."""
+    """prefer='bottom' returns EXACTLY the requested count — the mode used
+    when reproducing a released structure table, where the channel count is
+    the ground truth. When no alpha hits it exactly (support jumps over the
+    band), the smallest support >= rank is trimmed by |beta| order."""
     Z, y, _ = _sparse_problem(rng, c=64, k=40)
     gram = lasso.lasso_gram(Z, y)
-    rank = 32
-    rbound = rank + int(0.1 * rank)
-    mask, alpha, support = lasso.search_alpha(gram, rank, rank_tol=0.1,
-                                              alpha0=1e-3, prefer="bottom")
-    assert rank <= support <= rbound
-    dense = (np.geomspace(alpha / 8, alpha * 8, 160) *
-             gram.n_samples).astype(np.float32)
-    betas = lasso.cd_solve_grid(gram.G, gram.b, dense, n_sweeps=200)
-    supports = np.asarray(lasso.support_sizes(betas))
-    in_band = supports[(supports >= rank) & (supports <= rbound)]
-    assert in_band.size
-    assert support <= in_band.min() + 1, (support, int(in_band.min()))
+    for rank in (32, 37):  # 37: deliberately awkward, likely needs the trim
+        mask, alpha, support = lasso.search_alpha(gram, rank, rank_tol=0.1,
+                                                  alpha0=1e-3,
+                                                  prefer="bottom")
+        assert support == rank, (rank, support)
+        assert mask.sum() == rank
 
 
 def test_search_alpha_full_rank(rng):
