@@ -114,6 +114,23 @@ def test_solve_3c_end_to_end(setup):
     np.testing.assert_allclose(p.sum(-1), 1.0, rtol=1e-4)
 
 
+def test_solve_prune_bottom_band_exact_structure(setup):
+    """solve.band=bottom (released-table mode) reproduces the requested
+    channel counts EXACTLY — structural fidelity is the acceptance criterion
+    when targeting a released prototxt (e.g. channel_pruning.prototxt,
+    resnet-50-cp.prototxt)."""
+    g, params, inputs, cfg, cache = setup
+    targets = {"conv1_1": 5, "conv1_2": 6, "conv2_1": 8, "conv2_2": 9,
+               "conv3_1": 10}
+    cfg2 = cfg.replace_nested("solve.band", "bottom")
+    res = c3.solve_prune(g, params, cache, cfg2, channel_targets=targets,
+                         verbose=False)
+    res.graph.validate()
+    for prod, t in targets.items():
+        assert res.params[prod]["W"].shape[0] == t, (
+            prod, res.params[prod]["W"].shape[0], t)
+
+
 def test_ranks_for_speed():
     base = {"conv2_1": 37, "conv5_1": 398}
     r4 = c3.ranks_for_speed(base, 4.0)
