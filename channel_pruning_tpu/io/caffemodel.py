@@ -145,7 +145,19 @@ _V1_TYPES = {
 
 
 def load_caffemodel(path: str | Path) -> tuple[str, list[CaffeLayerBlobs]]:
-    """Return (net name, ordered layer blob records) from a .caffemodel."""
+    """Return (net name, ordered layer blob records) from a .caffemodel.
+
+    Fast path: the native wire indexer (native/caffemodel.cpp via
+    io.native_caffemodel) + zero-copy frombuffer — ~6x on a 553 MB VGG-16.
+    Falls back to the pure-Python field walk below on any unsupported
+    construct or when the .so is not built."""
+    try:
+        from channel_pruning_tpu.io.native_caffemodel import load_caffemodel_native
+        res = load_caffemodel_native(path)
+        if res is not None:
+            return res
+    except Exception:
+        pass  # corrupt .so/binding must never mask the Python path
     raw = memoryview(Path(path).read_bytes())
     net_name = ""
     layers: list[CaffeLayerBlobs] = []
