@@ -165,7 +165,8 @@ def cmd_prune(args):
             n_points=cfg.sample.n_points_per_layer,
             seed=cfg.sample.seed, share_key=share, labels=labels,
             chunk_batches=max(cfg.sample.freeze_device_batch
-                              // inputs.shape[1], 1)))
+                              // inputs.shape[1], 1),
+            mesh=_solver_mesh()))
         cache.save(cache_path)
         print(f"[prune] froze calibration cache -> {cache_path} "
               f"({time.perf_counter() - t0:.1f}s incl. load)")

@@ -166,11 +166,43 @@ def _chunk_iter(inputs: np.ndarray, chunk_batches: int):
         yield i, i + step
 
 
+def _mesh_placer(mesh, chunk_g: int, bs: int):
+    """Batch-shard the sampling chunk over a device mesh (SPMD freeze: convs
+    are image-parallel, so XLA inserts no collectives — only the sampled-row
+    outputs land sharded). Returns (place_x, place_plan) or (None, None)
+    when the mesh is absent/size-1 or the chunk doesn't split evenly.
+
+    Sharding the flat (G*bs, ...) image axis by whole point-plan groups
+    requires G % n_devices == 0 (each shard then holds complete groups, so
+    the row-order contract rows = g*P*bs + p*bs + b is preserved)."""
+    if mesh is None or mesh.devices.size <= 1 or chunk_g % mesh.devices.size:
+        return None, None
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    ax = mesh.axis_names[0]
+    row_sh = NamedSharding(mesh, PartitionSpec(ax))
+
+    def place_x(arr):
+        return jax.device_put(arr, row_sh)
+
+    return place_x, place_x  # plan arrays (G, P) shard on the same axis
+
+
+def _replicate_params(params, mesh):
+    """Replicate the params pytree across the mesh (mixing committed
+    single-device params with sharded activations would be an error)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    rep = NamedSharding(mesh, PartitionSpec())
+    return jax.tree_util.tree_map(lambda v: jax.device_put(v, rep), params)
+
+
 def sample_features(graph: Graph, params, inputs: np.ndarray,
                     plan: Mapping[str, tuple[np.ndarray, np.ndarray]],
                     tensors: Sequence[str], chunk_batches: int = 25,
                     compute_dtype: str | None = None,
-                    max_group: int = 6, fuse: bool = True) -> dict[str, np.ndarray]:
+                    max_group: int = 6, fuse: bool = True,
+                    mesh=None) -> dict[str, np.ndarray]:
     """Ground-truth response sampling: {tensor: (n_batches*P*bs, C)} (dense
     (n_images, D) for non-spatial tensors). inputs: (n_batches, bs, C, H, W).
     `compute_dtype="bfloat16"` runs conv math on the MXU in bf16 with f32
@@ -183,7 +215,11 @@ def sample_features(graph: Graph, params, inputs: np.ndarray,
     axon TPU worker faults on programs with many outputs, not large ones).
     Fallback: captures split into depth-ordered groups of <= `max_group`
     tensors, one program each (ancestor truncation keeps shallow groups
-    cheap) — used automatically if the fused program crashes the worker."""
+    cheap) — used automatically if the fused program crashes the worker.
+
+    With a multi-device `mesh`, calibration images shard across it (data
+    parallel — the extraction is embarrassingly image-parallel); results
+    are bit-identical to the single-device pass."""
     tensors = tuple(tensors)
     bs = inputs.shape[1]
     # order by production depth so each group's subgraph is a prefix
@@ -197,7 +233,7 @@ def sample_features(graph: Graph, params, inputs: np.ndarray,
         try:
             return _sample_features_fused(graph, params, inputs, plan,
                                           tuple(ordered), chunk_batches,
-                                          compute_dtype)
+                                          compute_dtype, mesh=mesh)
         except JaxRuntimeError as exc:
             from channel_pruning_tpu.utils.runtime import is_worker_crash
             if not is_worker_crash(exc):
@@ -213,6 +249,10 @@ def sample_features(graph: Graph, params, inputs: np.ndarray,
             raise
     groups = [tuple(ordered[i:i + max_group])
               for i in range(0, len(ordered), max_group)]
+    chunk_g = next(iter(_chunk_iter(inputs, chunk_batches)))[1]
+    place_x, place_p = _mesh_placer(mesh, chunk_g, bs)
+    if place_x is not None:
+        params = _replicate_params(params, mesh)
     outs: dict[str, list] = {t: [] for t in tensors}
     for group in groups:
         fn = _feature_chunk_fn(graph, group, bs, compute_dtype)
@@ -221,6 +261,10 @@ def sample_features(graph: Graph, params, inputs: np.ndarray,
             x = jnp.asarray(inputs[lo:hi].reshape((-1,) + inputs.shape[2:]))
             ys = {t: jnp.asarray(plan[t][0][lo:hi]) for t in group}
             xs = {t: jnp.asarray(plan[t][1][lo:hi]) for t in group}
+            if place_x is not None:
+                x = place_x(x)
+                ys = {t: place_p(v) for t, v in ys.items()}
+                xs = {t: place_p(v) for t, v in xs.items()}
             res = fn(params, x, ys, xs)
             # keep device handles — dispatch is async, so the next chunk's
             # compute overlaps this chunk's transfer; fetching here would
@@ -234,13 +278,18 @@ def sample_features(graph: Graph, params, inputs: np.ndarray,
 def _sample_features_fused(graph: Graph, params, inputs: np.ndarray,
                            plan: Mapping[str, tuple[np.ndarray, np.ndarray]],
                            ordered: tuple[str, ...], chunk_batches: int,
-                           compute_dtype: str | None) -> dict[str, np.ndarray]:
+                           compute_dtype: str | None,
+                           mesh=None) -> dict[str, np.ndarray]:
     """One-pass freeze: a single program gathers all tensors; outputs are
     channel-concatenated per row-count group and split host-side (one tunnel
     transfer per group per chunk)."""
     bs = inputs.shape[1]
     shapes = shapes_of(graph, batch=bs)
     fn = _feature_chunk_fn(graph, ordered, bs, compute_dtype, fuse=True)
+    chunk_g = next(iter(_chunk_iter(inputs, chunk_batches)))[1]
+    place_x, place_p = _mesh_placer(mesh, chunk_g, bs)
+    if place_x is not None:
+        params = _replicate_params(params, mesh)
     fused: dict[int, list] = {}
     meta: dict[int, list[tuple[str, int]]] | None = None
     for lo, hi in _chunk_iter(inputs, chunk_batches):
@@ -258,6 +307,10 @@ def _sample_features_fused(graph: Graph, params, inputs: np.ndarray,
         x = jnp.asarray(inputs[lo:hi].reshape((-1,) + inputs.shape[2:]))
         ys = {t: jnp.asarray(plan[t][0][lo:hi]) for t in ordered}
         xs = {t: jnp.asarray(plan[t][1][lo:hi]) for t in ordered}
+        if place_x is not None:
+            x = place_x(x)
+            ys = {t: place_p(v) for t, v in ys.items()}
+            xs = {t: place_p(v) for t, v in xs.items()}
         res = fn(params, x, ys, xs)
         for key in meta:  # device handles: async dispatch overlaps transfer
             fused.setdefault(key, []).append(res[key])
@@ -361,12 +414,14 @@ def resnet_share_key(graph: Graph) -> Callable[[str], str]:
 def freeze(graph: Graph, params, inputs: np.ndarray, *, tensors: Sequence[str] | None = None,
            n_points: int = 10, seed: int = 0, chunk_batches: int = 25,
            share_key: Callable[[str], str] | None = None,
-           labels: np.ndarray | None = None) -> FrozenCache:
+           labels: np.ndarray | None = None, mesh=None) -> FrozenCache:
     """Sample ground-truth responses of every conv top (default) on the given
     calibration batches; for residual nets, Eltwise tops and bottoms are
     included too (targets + shortcut replay points for the residual
     compensation, reference lib/net.py:1641-1683). The graph should have
-    ReLUs split (rewrite.split_relu) so conv outputs are addressable."""
+    ReLUs split (rewrite.split_relu) so conv outputs are addressable.
+    With a multi-device `mesh`, the calibration batch shards across it
+    (data-parallel sampling; bit-identical results)."""
     if tensors is None:
         names = [graph.layer(c).tops[0] for c in graph.convs]
         for e in graph.by_type(LT.ELTWISE):
@@ -381,7 +436,7 @@ def freeze(graph: Graph, params, inputs: np.ndarray, *, tensors: Sequence[str] |
     plan = make_point_plan(shapes, tensors, inputs.shape[0], n_points, seed,
                            share_key=share_key)
     feats = sample_features(graph, params, inputs, plan, tensors,
-                            chunk_batches=chunk_batches)
+                            chunk_batches=chunk_batches, mesh=mesh)
     return FrozenCache(inputs=np.asarray(inputs), plan=plan, feats=feats,
                        labels=labels)
 

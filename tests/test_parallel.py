@@ -41,6 +41,27 @@ def test_sharded_lstsq_matches_local(rng, mesh):
                                rtol=1e-3, atol=1e-3)
 
 
+def test_sharded_freeze_matches_single_device(mesh):
+    """Data-parallel sampling: with the calibration batch sharded over the
+    mesh the frozen features must be BIT-identical to the one-device pass
+    (the extraction is image-parallel; XLA inserts no cross-image math)."""
+    from channel_pruning_tpu.graph.rewrite import split_relu
+    from channel_pruning_tpu.ops.forward import to_device_params
+    from channel_pruning_tpu.sampling import freeze
+
+    g, params = build_tiny_vgg(batch=4, image_size=16)
+    g = split_relu(g)
+    rng = np.random.default_rng(3)
+    inputs = rng.normal(0, 1, (8, 4, 3, 16, 16)).astype(np.float32)
+    dev = to_device_params(params)
+    c_single = freeze(g, dev, inputs, n_points=5, seed=0, chunk_batches=8)
+    c_mesh = freeze(g, dev, inputs, n_points=5, seed=0, chunk_batches=8,
+                    mesh=mesh)
+    assert c_single.feats.keys() == c_mesh.feats.keys()
+    for t in c_single.feats:
+        np.testing.assert_array_equal(c_single.feats[t], c_mesh.feats[t]), t
+
+
 def test_solve_prune_on_mesh_matches_single_device(mesh):
     """solve_prune with the solver reductions sharded over the mesh must
     reproduce the single-device channel selections exactly (VERDICT r1 #5:
