@@ -22,10 +22,26 @@ from typing import Mapping
 import jax.numpy as jnp
 import numpy as np
 
+import functools
+
+import jax
+
 from channel_pruning_tpu.graph.ir import Graph, LT
 from channel_pruning_tpu.graph import rewrite
 from channel_pruning_tpu.ops import lasso, lstsq
-from channel_pruning_tpu.ops.oracle import rel_error
+from channel_pruning_tpu.ops.lstsq import f32_matmuls
+
+
+@functools.partial(jax.jit)
+@f32_matmuls
+def _device_rel_error(Xd, W, b, Yd):
+    """rel_error(Y, X (*) W + b) computed on device — the (N, n) prediction
+    never leaves HBM, only the scalar does (reference telemetry,
+    lib/net.py:1726)."""
+    pred = jnp.einsum("nchw,ochw->no", Xd, W) + b
+    num = jnp.mean((Yd - pred) ** 2)
+    den = jnp.mean(Yd ** 2)
+    return jnp.sqrt(num) / jnp.sqrt(den + 1e-30)
 
 _CHANNEL_PRESERVING = (LT.RELU, LT.POOL, LT.DROPOUT, LT.BN, LT.SCALE)
 
@@ -86,8 +102,11 @@ def select_and_reconstruct(X: np.ndarray, W2: np.ndarray, Y: np.ndarray,
 
     Xd = jnp.asarray(X, jnp.float32)
     Yd = jnp.asarray(Y, jnp.float32)
-    pred0 = jnp.einsum("nchw,ochw->no", Xd, jnp.asarray(W2, jnp.float32))
-    rmse_before = float(rel_error(np.asarray(Yd), np.asarray(pred0)))
+    # rMSE on device — only the scalar crosses the link (pred/Y are ~100 MB
+    # each at VGG scale; fetching them per layer would cost seconds on the
+    # tunnel just to print telemetry)
+    rmse_before = float(_device_rel_error(Xd, jnp.asarray(W2, jnp.float32),
+                                          jnp.zeros((), jnp.float32), Yd))
     from channel_pruning_tpu.utils.runtime import heartbeat
     heartbeat()  # per-layer watchdog progress mark
 
@@ -152,8 +171,8 @@ def select_and_reconstruct(X: np.ndarray, W2: np.ndarray, Y: np.ndarray,
     # rMSE at the FULL input width (stable shape -> shared compile with pred0)
     Wfull = np.zeros((Y.shape[1], c, kh, kw), np.float32)
     Wfull[:, keep] = W
-    pred1 = jnp.einsum("nchw,ochw->no", Xd, jnp.asarray(Wfull)) + b
-    rmse_after = float(rel_error(np.asarray(Yd), np.asarray(pred1)))
+    rmse_after = float(_device_rel_error(Xd, jnp.asarray(Wfull),
+                                         jnp.asarray(b), Yd))
     return PruneResult(keep=np.asarray(keep, bool), W=W, b=b, alpha=float(alpha),
                        rmse_before=rmse_before, rmse_after=rmse_after)
 
