@@ -304,7 +304,9 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             reports = st["reports"]
             frontier_fallbacks = st.get("frontier_fallbacks", [])
             print(f"[resume] solve_prune continuing after layer {resume_i}")
-    chunk = max(cfg.sample.device_batch // cache.batch_size, 1)
+    chunk = sampling.clamp_chunk_for_hbm(
+        g_run, cache.batch_size,
+        max(cfg.sample.device_batch // cache.batch_size, 1))
     cdt = None if cfg.solve.dtype == "float32" else cfg.solve.dtype
     # device-resident running params, updated INCREMENTALLY per layer —
     # re-uploading the whole pytree each layer would move ~0.5 GB/layer for
@@ -534,7 +536,9 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             print(f"[resume] solve_3c continuing after layer {resume_i}")
 
     convs = list(g_run.convs)
-    chunk = max(cfg.sample.device_batch // cache.batch_size, 1)
+    chunk = sampling.clamp_chunk_for_hbm(
+        g_run, cache.batch_size,
+        max(cfg.sample.device_batch // cache.batch_size, 1))
     cdt = None if cfg.solve.dtype == "float32" else cfg.solve.dtype
     dev_run = to_device_params(p_run)   # incremental device copy (see solve_prune)
     roll = _maybe_rolling(g_run, cache, cdt)

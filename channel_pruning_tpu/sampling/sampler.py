@@ -400,6 +400,26 @@ class FrozenCache:
                            labels=z["labels"] if "labels" in z.files else None)
 
 
+def clamp_chunk_for_hbm(graph: Graph, bs: int, chunk_batches: int,
+                        budget_bytes: int = 4 << 30) -> int:
+    """HBM guard for replay/extraction chunking: the capture-gather consumes
+    feature maps at production time, but the (g, bs, C, H, W) regroup still
+    materialises one full map per captured tensor — at detection resolutions
+    (600^2) a 100-image chunk is a ~29 GB allocation. Bound images/step so
+    the largest single map stays ~<= `budget_bytes`."""
+    shapes = shapes_of(graph, batch=1)
+    per_image = max((int(np.prod(s)) * 4 for s in shapes.values()
+                     if len(s) == 4), default=0)
+    if not per_image:
+        return chunk_batches
+    cap = max(1, budget_bytes // (per_image * bs))
+    if cap < chunk_batches:
+        print(f"[sampler] clamping replay chunk {chunk_batches} -> {cap} "
+              f"batches (largest map {per_image / 1e6:.0f} MB/image)")
+        return cap
+    return chunk_batches
+
+
 def resnet_share_key(graph: Graph) -> Callable[[str], str]:
     """Map each residual-sum-reachable tensor to its Eltwise junction so all
     branch tops share sample points (lib/net.py:466-497)."""
@@ -422,6 +442,8 @@ def freeze(graph: Graph, params, inputs: np.ndarray, *, tensors: Sequence[str] |
     ReLUs split (rewrite.split_relu) so conv outputs are addressable.
     With a multi-device `mesh`, the calibration batch shards across it
     (data-parallel sampling; bit-identical results)."""
+    chunk_batches = clamp_chunk_for_hbm(graph, int(inputs.shape[1]),
+                                        chunk_batches)
     if tensors is None:
         names = [graph.layer(c).tops[0] for c in graph.convs]
         for e in graph.by_type(LT.ELTWISE):
