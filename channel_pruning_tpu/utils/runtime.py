@@ -132,7 +132,8 @@ class Watchdog:
 
     _instance = None
 
-    def __init__(self, argv, limit_s: float = 600.0, poll_s: float = 30.0):
+    def __init__(self, argv, limit_s: float = 600.0, poll_s: float = 30.0,
+                 on_stale=None):
         import threading
         import time
 
@@ -141,6 +142,7 @@ class Watchdog:
         self.poll_s = poll_s
         self._last = time.monotonic()
         self._stop = threading.Event()
+        self._on_stale = on_stale or self._reexec  # injectable for tests
         self._thread = threading.Thread(target=self._watch, daemon=True)
 
     def start(self):
@@ -157,27 +159,35 @@ class Watchdog:
 
         self._last = time.monotonic()
 
+    def stale(self) -> bool:
+        import time
+
+        return time.monotonic() - self._last >= self.limit_s
+
     def _watch(self):
+        while not self._stop.wait(self.poll_s):
+            if self.stale():
+                self._on_stale()
+                return
+
+    def _reexec(self):
         import os
         import sys
         import time
 
-        while not self._stop.wait(self.poll_s):
-            idle = time.monotonic() - self._last
-            if idle < self.limit_s:
-                continue
-            n = int(os.environ.get("CP_TPU_REEXEC", "0"))
-            if n >= 3:
-                print(f"[watchdog] no progress for {idle:.0f}s and re-exec "
-                      "budget exhausted; giving up")
-                os._exit(3)
-            print(f"[watchdog] no progress for {idle:.0f}s (hung device op?); "
-                  "re-executing to reconnect")
-            sys.stdout.flush()
-            if not wait_for_device_subprocess():
-                os._exit(3)
-            os.environ["CP_TPU_REEXEC"] = str(n + 1)
-            os.execv(sys.executable, [sys.executable] + self.argv)
+        idle = time.monotonic() - self._last
+        n = int(os.environ.get("CP_TPU_REEXEC", "0"))
+        if n >= 3:
+            print(f"[watchdog] no progress for {idle:.0f}s and re-exec "
+                  "budget exhausted; giving up")
+            os._exit(3)
+        print(f"[watchdog] no progress for {idle:.0f}s (hung device op?); "
+              "re-executing to reconnect")
+        sys.stdout.flush()
+        if not wait_for_device_subprocess():
+            os._exit(3)
+        os.environ["CP_TPU_REEXEC"] = str(n + 1)
+        os.execv(sys.executable, [sys.executable] + self.argv)
 
 
 def heartbeat() -> None:
