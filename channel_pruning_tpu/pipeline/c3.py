@@ -312,6 +312,7 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
     # re-uploading the whole pytree each layer would move ~0.5 GB/layer for
     # VGG-16 over the host<->TPU link
     dev_run = to_device_params(p_run)
+    feats_dev: dict[str, jnp.ndarray] = {}  # ground-truth targets, uploaded once
     roll = _maybe_rolling(g_run, cache, cdt)
 
     convs = list(g_run.convs)
@@ -372,7 +373,12 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                 Y = Y - cur[o]
             Y = Y.astype(np.float32)
         else:
-            Y = cache.feats[top] - b2
+            # chain path: subtract the bias ON DEVICE against a cached upload
+            # of the ground truth — the (N, n) target would otherwise be a
+            # fresh ~100 MB h2d per layer (identical f32 math either way)
+            if top not in feats_dev:
+                feats_dev[top] = jnp.asarray(cache.feats[top], jnp.float32)
+            Y = feats_dev[top] - jnp.asarray(b2, jnp.float32)
         res = prune_mod.select_and_reconstruct(
             X, p_run[consumer]["W"], Y, int(target),
             rank_tol=cfg.dic.rank_tol, alpha0=cfg.solve.alpha,
@@ -541,6 +547,7 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         max(cfg.sample.device_batch // cache.batch_size, 1))
     cdt = None if cfg.solve.dtype == "float32" else cfg.solve.dtype
     dev_run = to_device_params(p_run)   # incremental device copy (see solve_prune)
+    feats_dev: dict[str, jnp.ndarray] = {}  # ground-truth targets, uploaded once
     roll = _maybe_rolling(g_run, cache, cdt)
 
     def _sync(name: str) -> None:
@@ -702,7 +709,11 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             topn = g_run.layer(convnext).tops[0]
             bn2 = p_run[convnext].get(
                 "b", np.zeros(p_run[convnext]["W"].shape[0], np.float32))
-            Yn = cache.feats[topn] - bn2
+            # device-cached ground truth (see solve_prune): only the bias
+            # subtraction runs per layer, no fresh ~100 MB h2d
+            if topn not in feats_dev:
+                feats_dev[topn] = jnp.asarray(cache.feats[topn], jnp.float32)
+            Yn = feats_dev[topn] - jnp.asarray(bn2, jnp.float32)
             res = prune_mod.select_and_reconstruct(
                 Xn, np.asarray(p_run[convnext]["W"], np.float32), Yn, d_c,
                 rank_tol=cfg.dic.rank_tol, alpha0=cfg.solve.alpha,
