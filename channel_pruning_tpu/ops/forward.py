@@ -252,4 +252,10 @@ def logits_fn(graph: Graph, logits_tensor: str | None = None):
 
 
 def to_device_params(params: Mapping[str, Mapping[str, np.ndarray]]) -> dict:
-    return jax.tree_util.tree_map(jnp.asarray, {k: dict(v) for k, v in params.items()})
+    """Upload a params pytree, chunking big leaves (FC weights are 400+ MB;
+    the degraded axon tunnel wedges on large single-buffer transfers —
+    runtime.chunked_device_put)."""
+    from channel_pruning_tpu.utils.runtime import chunked_device_put
+
+    return jax.tree_util.tree_map(chunked_device_put,
+                                  {k: dict(v) for k, v in params.items()})

@@ -377,7 +377,8 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             # of the ground truth — the (N, n) target would otherwise be a
             # fresh ~100 MB h2d per layer (identical f32 math either way)
             if top not in feats_dev:
-                feats_dev[top] = jnp.asarray(cache.feats[top], jnp.float32)
+                feats_dev[top] = sampling.chunked_device_put(
+                    np.asarray(cache.feats[top], np.float32))
             Y = feats_dev[top] - jnp.asarray(b2, jnp.float32)
         res = prune_mod.select_and_reconstruct(
             X, p_run[consumer]["W"], Y, int(target),
@@ -712,7 +713,8 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             # device-cached ground truth (see solve_prune): only the bias
             # subtraction runs per layer, no fresh ~100 MB h2d
             if topn not in feats_dev:
-                feats_dev[topn] = jnp.asarray(cache.feats[topn], jnp.float32)
+                feats_dev[topn] = sampling.chunked_device_put(
+                    np.asarray(cache.feats[topn], np.float32))
             Yn = feats_dev[topn] - jnp.asarray(bn2, jnp.float32)
             res = prune_mod.select_and_reconstruct(
                 Xn, np.asarray(p_run[convnext]["W"], np.float32), Yn, d_c,

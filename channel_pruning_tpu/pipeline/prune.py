@@ -100,8 +100,11 @@ def select_and_reconstruct(X: np.ndarray, W2: np.ndarray, Y: np.ndarray,
     N, c = X.shape[0], X.shape[1]
     rank = int(min(max(rank, 1), c))
 
-    Xd = jnp.asarray(X, jnp.float32)
-    Yd = jnp.asarray(Y, jnp.float32)
+    from channel_pruning_tpu.utils.runtime import chunked_device_put
+    Xd = chunked_device_put(np.asarray(X, np.float32)) \
+        if not isinstance(X, jax.Array) else jnp.asarray(X, jnp.float32)
+    Yd = chunked_device_put(np.asarray(Y, np.float32)) \
+        if not isinstance(Y, jax.Array) else jnp.asarray(Y, jnp.float32)
     # rMSE on device — only the scalar crosses the link (pred/Y are ~100 MB
     # each at VGG scale; fetching them per layer would cost seconds on the
     # tunnel just to print telemetry)

@@ -39,7 +39,8 @@ from channel_pruning_tpu.graph.ir import Graph, LT, shapes_of
 from channel_pruning_tpu.ops.forward import run_graph
 from channel_pruning_tpu.ops.patches import (
     gather_channels_at_points, gather_patches_at_points)
-from channel_pruning_tpu.utils.runtime import heartbeat as runtime_heartbeat
+from channel_pruning_tpu.utils.runtime import (chunked_device_put,
+                                               heartbeat as runtime_heartbeat)
 
 
 # ---------------------------------------------------------------------------
@@ -258,7 +259,7 @@ def sample_features(graph: Graph, params, inputs: np.ndarray,
         fn = _feature_chunk_fn(graph, group, bs, compute_dtype)
         for lo, hi in _chunk_iter(inputs, chunk_batches):
             runtime_heartbeat()
-            x = jnp.asarray(inputs[lo:hi].reshape((-1,) + inputs.shape[2:]))
+            x = chunked_device_put(inputs[lo:hi].reshape((-1,) + inputs.shape[2:]))
             ys = {t: jnp.asarray(plan[t][0][lo:hi]) for t in group}
             xs = {t: jnp.asarray(plan[t][1][lo:hi]) for t in group}
             if place_x is not None:
@@ -304,7 +305,7 @@ def _sample_features_fused(graph: Graph, params, inputs: np.ndarray,
                 else:
                     key, w = g * p * bs, int(shp[1])
                 meta.setdefault(key, []).append((t, w))
-        x = jnp.asarray(inputs[lo:hi].reshape((-1,) + inputs.shape[2:]))
+        x = chunked_device_put(inputs[lo:hi].reshape((-1,) + inputs.shape[2:]))
         ys = {t: jnp.asarray(plan[t][0][lo:hi]) for t in ordered}
         xs = {t: jnp.asarray(plan[t][1][lo:hi]) for t in ordered}
         if place_x is not None:
@@ -343,7 +344,7 @@ def sample_patches(graph: Graph, params, inputs: np.ndarray, conv: str,
     outs = []
     for lo, hi in _chunk_iter(inputs, chunk_batches):
         runtime_heartbeat()
-        x = jnp.asarray(inputs[lo:hi].reshape((-1,) + inputs.shape[2:]))
+        x = chunked_device_put(inputs[lo:hi].reshape((-1,) + inputs.shape[2:]))
         outs.append(np.asarray(fn(params, x, jnp.asarray(ys_all[lo:hi]),
                                   jnp.asarray(xs_all[lo:hi]))))
     return np.concatenate(outs, axis=0)
@@ -499,7 +500,7 @@ def channel_stats(graph: Graph, params, inputs: np.ndarray,
     acc: dict[str, list] = {t: [0.0, 0.0, 0.0] for t in tensors}
     for lo, hi in _chunk_iter(inputs, chunk_batches):
         runtime_heartbeat()
-        x = jnp.asarray(inputs[lo:hi].reshape((-1,) + inputs.shape[2:]))
+        x = chunked_device_put(inputs[lo:hi].reshape((-1,) + inputs.shape[2:]))
         res = fn(params, x)
         for t in tensors:
             s, ss, n = res[t]
@@ -544,7 +545,7 @@ def sample_dense(graph: Graph, params, inputs: np.ndarray,
     outs: dict[str, list[np.ndarray]] = {t: [] for t in tensors}
     for lo, hi in _chunk_iter(inputs, chunk_batches):
         runtime_heartbeat()
-        x = jnp.asarray(inputs[lo:hi].reshape((-1,) + inputs.shape[2:]))
+        x = chunked_device_put(inputs[lo:hi].reshape((-1,) + inputs.shape[2:]))
         res = fn(params, x)
         for t in tensors:
             outs[t].append(np.asarray(res[t]))

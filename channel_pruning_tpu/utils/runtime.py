@@ -198,6 +198,40 @@ def heartbeat() -> None:
         wd.beat()
 
 
+_LINK_WARMED = False
+
+
+def chunked_device_put(arr, max_bytes: int = 4 << 20):
+    """Upload a host array in <=`max_bytes` pieces and concatenate on device.
+
+    The axon tunnel in its degraded state (post worker-crash) wedges for
+    minutes — sometimes indefinitely — on a LARGE single-buffer transfer,
+    while a stream of small ones runs at full speed (measured: one 64 MB
+    device_put hung >420 s; the same bytes as 4 MB pieces took 1.1 s).
+    A tiny warmup transfer is sent once per process before the first real
+    upload. No-ops (plain device_put) for small arrays."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if isinstance(arr, jax.Array):
+        return arr  # already on device — never round-trip it
+    global _LINK_WARMED
+    if not _LINK_WARMED:
+        jax.device_put(np.zeros(8, np.float32)).block_until_ready()
+        _LINK_WARMED = True
+    a = np.asarray(arr)
+    if a.nbytes <= max_bytes or a.ndim == 0:
+        return jax.device_put(a)
+    lead = a.shape[0]
+    rows_per = max(1, max_bytes // max(a.nbytes // lead, 1))
+    if rows_per >= lead:
+        return jax.device_put(a)
+    parts = [jax.device_put(a[i:i + rows_per])
+             for i in range(0, lead, rows_per)]
+    return jnp.concatenate(parts, axis=0)
+
+
 def force_cpu() -> None:
     """For scripts/debug: must run before first device use (jax is
     pre-imported in this image, so env vars are too late)."""
