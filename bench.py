@@ -39,7 +39,12 @@ def make_problem(seed=0, N=50_000, c=256, n=512, k=3, rank=None):
     return X, W2, Y, rank
 
 
-def device_solve(X, W2, Y, rank, *, subsample=400, seed=0):
+def device_solve(X, W2, Y, rank, *, subsample=400, seed=0, repeats=5):
+    """Median-of-`repeats` end-to-end solve latency plus a separately-fenced
+    per-phase breakdown (Z-build / Gram / alpha-grid search / full-N
+    reconstruction), so a regression can be attributed to a phase instead of
+    read off a single tunnel-noise-contaminated sample (VERDICT r2 #4).
+    rMSE telemetry is computed OUTSIDE every timed region."""
     import jax
     import jax.numpy as jnp
 
@@ -53,24 +58,60 @@ def device_solve(X, W2, Y, rank, *, subsample=400, seed=0):
     W2d = jax.device_put(jnp.asarray(W2))
     rows_d = jnp.asarray(rows)
 
+    def fence(a):
+        # scalar host fetch: the only reliable execution fence through the
+        # axon relay (block_until_ready returns before remote completion)
+        float(jnp.asarray(a).sum())
+
     def run():
         Z = lasso.build_channel_response(Xd[rows_d], W2d)
         gram = lasso.lasso_gram(Z, Yd[rows_d].reshape(-1))
         keep, alpha, support = lasso.search_alpha(gram, rank, 0.1)
-        kh, kw = X.shape[2], X.shape[3]
         Xk = Xd[:, keep].reshape(N, -1)
         W, b = lstsq.fit_linear(Xk, Yd)
-        return keep, np.asarray(W), np.asarray(b)
+        fence(W)
+        return keep, W, b
 
-    # warmup (compile)
-    keep, W, b = run()
+    keep, W, b = run()                      # warmup (compile)
+    totals = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        keep, W, b = run()
+        totals.append(time.perf_counter() - t0)
+    totals = np.asarray(totals)
+
+    # phase breakdown (one extra pass; per-phase fences add one tunnel RTT
+    # each, so the phase sum can exceed the unfenced end-to-end median)
+    phases = {}
     t0 = time.perf_counter()
-    keep, W, b = run()
-    dt = time.perf_counter() - t0
+    Z = lasso.build_channel_response(Xd[rows_d], W2d)
+    fence(Z[0, 0])
+    phases["z_build_ms"] = (time.perf_counter() - t0) * 1e3
+    t0 = time.perf_counter()
+    gram = lasso.lasso_gram(Z, Yd[rows_d].reshape(-1))
+    fence(gram.G[0, 0])
+    phases["gram_ms"] = (time.perf_counter() - t0) * 1e3
+    t0 = time.perf_counter()
+    keep2, _, _ = lasso.search_alpha(gram, rank, 0.1)
+    phases["alpha_search_ms"] = (time.perf_counter() - t0) * 1e3
+    t0 = time.perf_counter()
+    Xk = Xd[:, keep2].reshape(N, -1)
+    W2_, b2_ = lstsq.fit_linear(Xk, Yd)
+    fence(W2_[0, 0])
+    phases["reconstruct_ms"] = (time.perf_counter() - t0) * 1e3
+
+    # telemetry OUTSIDE the timed region
+    W = np.asarray(W)
+    b = np.asarray(b)
     pred = np.einsum("nchw,ochw->no", X[:, keep],
                      W.reshape(Y.shape[1], int(keep.sum()), X.shape[2], X.shape[3])) + b
     err = float(np.sqrt(np.mean((pred - Y) ** 2)) / np.sqrt(np.mean(Y ** 2)))
-    return dt, int(keep.sum()), err, np.asarray(keep)
+    stats = {"median_ms": float(np.median(totals) * 1e3),
+             "min_ms": float(totals.min() * 1e3),
+             "max_ms": float(totals.max() * 1e3),
+             "n_runs": int(repeats),
+             "phases": {k: round(v, 1) for k, v in phases.items()}}
+    return stats, int(keep.sum()), err, np.asarray(keep)
 
 
 def sklearn_solve(X, W2, Y, rank, *, subsample=400, seed=0, rank_tol=0.1):
@@ -115,19 +156,31 @@ def sklearn_solve(X, W2, Y, rank, *, subsample=400, seed=0, rank_tol=0.1):
 
 
 def forward_mfu():
-    """bf16 VGG-16 forward MFU at batch 64 (the `caffe time` surface) —
-    recorded so every round's BENCH captures compute efficiency, not just
-    solver latency. Kept cheap: compile is in the persistent cache."""
+    """bf16 VGG-16 forward MFU — both views (VERDICT r2 #5):
+    * per-dispatch at batch 64 (what a caller over the tunnel sees — the
+      ~25 ms relay RTT is ~half the step at this batch; `caffe time` analog),
+    * a >=20-step device-resident lax.fori_loop at batch 256 (what the chip
+      does: RTT amortised 1/steps — the honest compute-efficiency number).
+    Kept cheap: compiles are in the persistent cache."""
     try:
         from channel_pruning_tpu.models.vgg import build_vgg16, init_params
-        from channel_pruning_tpu.utils.profiling import time_forward
+        from channel_pruning_tpu.utils.profiling import (
+            time_forward, time_forward_device_loop)
 
         g = build_vgg16(batch=64)
-        res = time_forward(g, init_params(g, seed=0), iters=8, warmup=2,
-                           compute_dtype="bfloat16")
-        return {"mean_ms": round(res["mean_ms"], 2),
-                "images_per_sec": round(res["images_per_sec"], 1),
-                "mfu": round(res["mfu"], 4)}
+        p = init_params(g, seed=0)
+        res = time_forward(g, p, iters=8, warmup=2, compute_dtype="bfloat16")
+        out = {"mean_ms": round(res["mean_ms"], 2),
+               "images_per_sec": round(res["images_per_sec"], 1),
+               "mfu": round(res["mfu"], 4)}
+        g256 = build_vgg16(batch=256)
+        loop = time_forward_device_loop(g256, p, batch=256, steps=20,
+                                        repeats=3, compute_dtype="bfloat16")
+        out["device_loop_b256"] = {
+            "ms_per_step": round(loop["device_ms_per_step"], 2),
+            "images_per_sec": round(loop["images_per_sec"], 1),
+            "mfu": round(loop["mfu"], 4)}
+        return out
     except Exception as exc:  # never let the MFU probe sink the headline
         return {"error": str(exc)[:120]}
 
@@ -136,19 +189,23 @@ def main():
     from channel_pruning_tpu.utils.runtime import enable_compilation_cache
     enable_compilation_cache()
     X, W2, Y, rank = make_problem()
-    dev_t, dev_keep, dev_err, dev_mask = device_solve(X, W2, Y, rank)
+    stats, dev_keep, dev_err, dev_mask = device_solve(X, W2, Y, rank)
     fwd = forward_mfu()
     sk_t, sk_keep, sk_err, sk_mask = sklearn_solve(X, W2, Y, rank)
     iou = float((dev_mask & sk_mask).sum() / max((dev_mask | sk_mask).sum(), 1))
+    dev_t = stats["median_ms"] / 1e3
     print(json.dumps({
         "metric": "per_layer_prune_solve_latency",
-        "value": round(dev_t * 1e3, 2),
+        "value": round(stats["median_ms"], 2),
         "unit": "ms",
         "vs_baseline": round(sk_t / dev_t, 2),
         "detail": {
             "layer_shape": "conv3_1-scale N=50000 c=256 n=512 k=3",
-            "device": {"ms": round(dev_t * 1e3, 2), "kept": dev_keep,
-                       "rmse": round(dev_err, 4)},
+            "device": {"ms": round(stats["median_ms"], 2), "kept": dev_keep,
+                       "rmse": round(dev_err, 4), "min_ms": round(stats["min_ms"], 2),
+                       "max_ms": round(stats["max_ms"], 2),
+                       "n_runs": stats["n_runs"],
+                       "phases_ms": stats["phases"]},
             "sklearn_reference_algo": {"ms": round(sk_t * 1e3, 2),
                                        "kept": sk_keep,
                                        "rmse": round(sk_err, 4)},

@@ -67,9 +67,6 @@ def _image_batches(args, graph, **kw):
     d = Path(args.data_dir)
     if d.name == "data.mdb" or (d / "data.mdb").exists():
         from channel_pruning_tpu.data.lmdb import lmdb_batches
-        kw.pop("shuffle", None)
-        kw.pop("seed", None)
-        kw.pop("random_crop", None)
         return lmdb_batches(d, batch, new_dim=_resize_dim(crop), crop=crop,
                             **kw)
     n_files = len(dp._list_imagefolder(Path(args.data_dir))[0])
@@ -146,6 +143,11 @@ def cmd_prune(args):
     wd = _workdir(args)
     t0 = time.perf_counter()
     graph, params = _load_model(args)
+    if ("vgg" in graph.name
+            and not any(kv.startswith("solve.dtype") for kv in args.set or [])):
+        # VGG preset: bf16 replay measured selection-identical to f32
+        # (BENCH_NOTES); other families stay on the reference's f32 default
+        cfg = cfg.replace_nested("solve.dtype", "bfloat16")
     print(f"[prune] model {graph.name}: {len(graph.convs)} convs, "
           f"{flops.total_flops(graph):,} mults")
 
@@ -326,12 +328,20 @@ def cmd_finetune(args):
 
 def cmd_time(args):
     """Forward latency/throughput (the reference's `caffe time`,
-    lib/net.py:1760)."""
-    from channel_pruning_tpu.utils.profiling import time_forward
+    lib/net.py:1760). `--loop-steps N` chains N forwards into ONE device
+    program (lax.fori_loop) so the host<->device RTT amortises away — the
+    compute-honest MFU view; without it each step pays a dispatch."""
+    from channel_pruning_tpu.utils.profiling import (time_forward,
+                                                     time_forward_device_loop)
 
     graph, params = _load_model(args)
-    res = time_forward(graph, params, batch=args.batch, iters=args.iters,
-                       compute_dtype=args.dtype)
+    if args.loop_steps:
+        res = time_forward_device_loop(graph, params, batch=args.batch,
+                                       steps=args.loop_steps,
+                                       compute_dtype=args.dtype)
+    else:
+        res = time_forward(graph, params, batch=args.batch, iters=args.iters,
+                           compute_dtype=args.dtype)
     print(json.dumps(res))
     return res
 
@@ -420,6 +430,9 @@ def main(argv=None):
     p = sub.add_parser("time", help="forward latency/throughput (caffe time)")
     common(p)
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--loop-steps", type=int, default=0,
+                   help="chain N forwards into one device program "
+                        "(RTT-free compute timing)")
     p.add_argument("--dtype", default=None,
                    help="compute dtype for the timed forward, e.g. bfloat16")
     p.set_defaults(fn=cmd_time)

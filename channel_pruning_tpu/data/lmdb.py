@@ -127,6 +127,34 @@ class LMDBReader:
             return
         yield from self._walk(self.root)
 
+    def leaf_refs(self) -> list[tuple[int, int, int, int, int]]:
+        """Stable references to every record, in key order. Each ref can be
+        read in any order via `value_at` while the reader stays open —
+        the random-access path that lets a Data-layer source shuffle
+        (the reference shuffles at the LMDB cursor, lib/net.py:813-822)."""
+        refs: list[tuple[int, int, int, int, int]] = []
+        if self.root == P_INVALID:
+            return refs
+
+        def walk(pgno: int) -> None:
+            page_off, flags, lower, _upper = self._page(pgno)
+            n = (lower - PAGEHDRSZ) // 2
+            if flags & P_LEAF2:
+                raise NotImplementedError("LEAF2 (dupfixed) pages")
+            for i in range(n):
+                base, lo, hi, nflags, ksize, _key = self._node(
+                    page_off, PAGEHDRSZ + 2 * i)
+                if flags & P_BRANCH:
+                    walk(lo | (hi << 16) | (nflags << 32))
+                else:
+                    refs.append((base, lo, hi, nflags, ksize))
+
+        walk(self.root)
+        return refs
+
+    def value_at(self, ref: tuple[int, int, int, int, int]) -> bytes:
+        return self._leaf_value(*ref)
+
     def _walk(self, pgno: int) -> Iterator[tuple[bytes, bytes]]:
         page_off, flags, lower, upper = self._page(pgno)
         n = (lower - PAGEHDRSZ) // 2
@@ -381,15 +409,20 @@ def decode_datum(buf: bytes) -> Datum:
 
 def lmdb_batches(path: str | Path, batch: int, *, new_dim: int = 256,
                  crop: int = 224, mean: np.ndarray | None = None,
-                 loop: bool = False,
+                 loop: bool = False, shuffle: bool = False, seed: int = 0,
+                 random_crop: bool = False,
                  ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
     """Caffe `Data`-layer equivalent over an LMDB of Datum records: yields
     ((batch, 3, crop, crop) float32 BGR mean-subtracted, (batch,) labels).
 
-    Raw (pre-sized) Datums get the Data layer's center crop + mean subtract
-    (lib/net.py:813-822 TEST-phase transform_param); `encoded` JPEG/PNG
-    Datums go through the same jitted bicubic-256/crop pipeline as the
-    ImageData source."""
+    Raw (pre-sized) Datums get the Data layer's crop + mean subtract; with
+    `random_crop` the TRAIN-phase transform (random crop offset + horizontal
+    mirror, lib/net.py:813-822 transform_param), else the TEST-phase center
+    crop. `shuffle` re-orders records per epoch with a seeded rng — without
+    it a class-sorted LMDB would feed a biased calibration stream. `encoded`
+    JPEG/PNG Datums go through the same jitted bicubic-256/crop pipeline as
+    the ImageData source. With loop=True, partial batches carry across epoch
+    boundaries so tail records are never dropped."""
     from channel_pruning_tpu.data.pipeline import BGR_MEAN, preprocess
     import jax.numpy as jnp
 
@@ -397,6 +430,7 @@ def lmdb_batches(path: str | Path, batch: int, *, new_dim: int = 256,
                else BGR_MEAN)
     if mean_px.ndim == 1:
         mean_px = mean_px[:, None, None]
+    rng = np.random.default_rng(seed)
 
     def transform(d: Datum) -> np.ndarray:
         if d.encoded:
@@ -405,28 +439,44 @@ def lmdb_batches(path: str | Path, batch: int, *, new_dim: int = 256,
                                         new_dim=new_dim, crop=crop,
                                         mean=jnp.zeros(3, jnp.float32)))
             sub = mean_px[:, :crop, :crop] if mean_px.shape[1] > 1 else mean_px
-            return out - sub
+            out = out - sub
+            if random_crop and rng.random() < 0.5:
+                out = out[:, :, ::-1]                        # mirror
+            return out
         arr = d.to_array()                                   # BGR CHW
         h, w = arr.shape[1], arr.shape[2]
         if h < crop or w < crop:
             raise ValueError(f"datum {arr.shape} smaller than crop {crop}")
-        y0, x0 = (h - crop) // 2, (w - crop) // 2
+        if random_crop:
+            y0 = int(rng.integers(0, h - crop + 1))
+            x0 = int(rng.integers(0, w - crop + 1))
+        else:
+            y0, x0 = (h - crop) // 2, (w - crop) // 2
         sub = mean_px[:, :crop, :crop] if mean_px.shape[1] > 1 else mean_px
-        return arr[:, y0:y0 + crop, x0:x0 + crop] - sub
+        out = arr[:, y0:y0 + crop, x0:x0 + crop] - sub
+        if random_crop and rng.random() < 0.5:
+            out = out[:, :, ::-1]
+        return out
 
-    while True:
+    with LMDBReader(path) as rd:
+        refs = rd.leaf_refs()
+        if not refs:
+            raise ValueError(f"LMDB at {path} holds no records")
+        order = np.arange(len(refs))
         imgs, labels = [], []
-        with LMDBReader(path) as rd:
-            for _key, raw in rd.items():
-                d = decode_datum(raw)
+        while True:
+            if shuffle:
+                rng.shuffle(order)
+            for idx in order:
+                d = decode_datum(rd.value_at(refs[idx]))
                 imgs.append(transform(d))
                 labels.append(d.label)
                 if len(imgs) == batch:
                     yield (np.stack(imgs).astype(np.float32),
                            np.asarray(labels, np.int32))
                     imgs, labels = [], []
-        if not loop:
-            if imgs:
-                yield (np.stack(imgs).astype(np.float32),
-                       np.asarray(labels, np.int32))
-            return
+            if not loop:
+                if imgs:
+                    yield (np.stack(imgs).astype(np.float32),
+                           np.asarray(labels, np.int32))
+                return

@@ -11,7 +11,7 @@ caffe.proto contract (BVLC Caffe, BSD):
   LayerParameter: name=1, type=2, bottom=3, top=4, blobs=7
   V1LayerParameter: bottom=2, top=3, name=4, type=5(enum), blobs=6
   BlobProto: num=1, channels=2, height=3, width=4, data=5(packed float),
-             shape=7, double_data=9
+             shape=7, double_data=8 (diff=6 / double_diff=9 are skipped)
   BlobShape: dim=1 (packed int64)
 """
 from __future__ import annotations
@@ -122,8 +122,10 @@ def _decode_blob(buf: memoryview) -> np.ndarray:
         elif fnum == 5 and wt == 5:  # unpacked single float (rare)
             v = np.float32(struct.unpack("<f", struct.pack("<I", val))[0])
             data = np.append(data, v) if data is not None else np.array([v], "<f4")
-        elif fnum == 9 and wt == 2:  # packed double data
+        elif fnum == 8 and wt == 2:  # packed double data
             data = np.frombuffer(bytes(val), dtype="<f8").astype(np.float32)
+        elif fnum in (6, 9) and wt == 2:
+            pass  # diff (6) / double_diff (9): gradients, not weights
         elif fnum in (1, 2, 3, 4) and wt == 0:  # legacy num/channels/h/w
             legacy[fnum] = val
     if data is None:

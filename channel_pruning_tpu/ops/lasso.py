@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from channel_pruning_tpu.utils.runtime import heartbeat
+
 from channel_pruning_tpu.ops.lstsq import f32_matmuls
 
 
@@ -181,6 +183,7 @@ def search_alpha(gram: LassoGram, rank: int, rank_tol: float,
     #                   kept for the exact-count trim on the "bottom" path
     refines = 0       # each refinement is a full grid solve — bound them
     for round_i in range(max_rounds):
+        heartbeat()   # each grid solve can take seconds-to-minutes cold
         a = jnp.asarray(alphas * N, dtype=gram.G.dtype)
         betas = _solve_grid(gram.G, gram.b, a, n_sweeps=n_sweeps)
         supports = np.asarray(support_sizes(betas))
@@ -396,6 +399,7 @@ def search_alpha_group(gram: GroupGram, rank: int, rank_tol: float,
     best_over = None  # (support, row norms, alpha) for the exact-count trim
     refines = 0       # each refinement is a full grid solve — bound them
     for _ in range(max_rounds):
+        heartbeat()   # each grid solve can take seconds-to-minutes cold
         a = jnp.asarray(alphas * N, dtype=gram.G.dtype)
         Bs = group_cd_solve_grid(gram.G, gram.C, a, n_sweeps=n_sweeps)
         norms = np.asarray(group_row_norms(Bs))            # (A, c)

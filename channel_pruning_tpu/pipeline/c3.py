@@ -147,7 +147,8 @@ def prune_targets_from_ratio(graph: Graph, speed_ratio: float,
 
 def plan_uniform_targets(graph: Graph, speed_ratio: float,
                          rank_tol: float = 0.1,
-                         skip: tuple[str, ...] = ()) -> dict[str, int]:
+                         skip: tuple[str, ...] = (),
+                         with_prediction: bool = False):
     """Structure-aware uniform targets: bisect one keep fraction s so the
     SIMULATED post-prune conv-mult count hits 1/speed_ratio, accounting for
     (a) which producers can physically shrink (group-1 / depthwise chains,
@@ -164,7 +165,6 @@ def plan_uniform_targets(graph: Graph, speed_ratio: float,
     base = {c: flops_mod.layer_flops(graph, shapes, c) for c in convs}
 
     def simulate(s: float) -> tuple[float, dict[str, int]]:
-        keep = min(1.0, s * (1.0 + rank_tol))      # top-of-band outcome
         in_scale = {c: 1.0 for c in convs}
         out_scale = {c: 1.0 for c in convs}
         for i, c in enumerate(convs):
@@ -177,6 +177,14 @@ def plan_uniform_targets(graph: Graph, speed_ratio: float,
             geo_c = graph.layer(c).conv_geometry()
             if geo_c["group"] > 1:
                 continue                            # depthwise consumer: skip
+            # DISCRETE top-of-band outcome for this edge: the support search
+            # lands on the largest integer in [t, t + tol*t] — at 512-wide
+            # convs that is ~t*(1+tol), at 9-wide ones it is exactly t
+            # (int(0.1*9) == 0); a continuous s*(1+tol) over-predicts keeps
+            # on tiny graphs by up to 10% per side
+            n_prod = int(graph.layer(prod).attr("num_output"))
+            t = max(1, int(round(n_prod * s)))
+            keep = min(n_prod, t + int(rank_tol * t)) / n_prod
             in_scale[c] = keep
             # mirror apply_pruning's producer-shrink rules
             cons, p = c, prod
@@ -212,27 +220,35 @@ def plan_uniform_targets(graph: Graph, speed_ratio: float,
         else:
             lo = mid
     total, targets = simulate(lo)
+    predicted = orig / max(total, 1)
     print(f"[plan] uniform keep fraction {lo:.3f} -> predicted "
-          f"{orig / max(total, 1):.2f}x conv mults")
+          f"{predicted:.2f}x conv mults")
+    if with_prediction:
+        return targets, predicted
     return targets
 
 
 def _maybe_rolling(g_run: Graph, cache: sampling.FrozenCache,
-                   compute_dtype: str | None,
+                   compute_dtype: str | None, mesh=None,
                    hbm_budget: int = 8 << 30):
     """Use the O(L) rolling frontier when the live activation cut over the
     whole calibration set fits HBM: the chain variant for plain nets, the
-    DAG-cut variant for residual topologies."""
+    DAG-cut variant for residual topologies. With a mesh the frontier's
+    image axis is sharded, so the budget scales with the device count."""
     n_images = cache.n_batches * cache.batch_size
+    if mesh is not None:
+        hbm_budget *= int(mesh.devices.size)
     if rolling_mod.is_chain(g_run):
         if rolling_mod.estimate_peak_bytes(g_run, n_images) > hbm_budget:
             return None
         return rolling_mod.RollingReplay(g_run, cache.inputs,
-                                         compute_dtype=compute_dtype)
+                                         compute_dtype=compute_dtype,
+                                         mesh=mesh)
     if rolling_mod.estimate_cut_bytes(g_run, n_images) > hbm_budget:
         return None
     return rolling_mod.RollingReplayDAG(g_run, cache.inputs,
-                                        compute_dtype=compute_dtype)
+                                        compute_dtype=compute_dtype,
+                                        mesh=mesh)
 
 
 def _epscheck(*arrays, warn: float = 1e2, reject: float = 1e4) -> bool:
@@ -313,7 +329,7 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
     # VGG-16 over the host<->TPU link
     dev_run = to_device_params(p_run)
     feats_dev: dict[str, jnp.ndarray] = {}  # ground-truth targets, uploaded once
-    roll = _maybe_rolling(g_run, cache, cdt)
+    roll = _maybe_rolling(g_run, cache, cdt, mesh=mesh)
 
     convs = list(g_run.convs)
     for i, consumer in enumerate(convs):
@@ -346,7 +362,7 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         if X is None:
             X = sampling.sample_patches(g_run, dev_run, cache.inputs, consumer,
                                         cache.plan, chunk_batches=chunk,
-                                        compute_dtype=cdt)
+                                        compute_dtype=cdt, mesh=mesh)
         top = g_run.layer(consumer).tops[0]
         b2 = p_run[consumer].get("b", np.zeros(p_run[consumer]["W"].shape[0],
                                                np.float32))
@@ -367,7 +383,7 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                 cur = sampling.sample_features(g_run, dev_run, cache.inputs,
                                                cache.plan, others,
                                                chunk_batches=chunk,
-                                               compute_dtype=cdt)
+                                               compute_dtype=cdt, mesh=mesh)
             Y = cache.feats[e_top].astype(np.float64) - b2
             for o in others:
                 Y = Y - cur[o]
@@ -386,7 +402,7 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             subsample=cfg.lasso.subsample_rows, n_sweeps=cfg.lasso.n_sweeps,
             grid_size=cfg.lasso.grid_size, max_rounds=cfg.lasso.max_rounds,
             ridge=cfg.solve.ls_ridge, seed=cfg.sample.seed, mesh=mesh,
-            prefer=cfg.solve.band)
+            group=cfg.dic.grplasso, prefer=cfg.solve.band)
         dt = timer.toc()
 
         # running graph: zero-scattered reconstruction (static shapes)
@@ -549,7 +565,7 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
     cdt = None if cfg.solve.dtype == "float32" else cfg.solve.dtype
     dev_run = to_device_params(p_run)   # incremental device copy (see solve_prune)
     feats_dev: dict[str, jnp.ndarray] = {}  # ground-truth targets, uploaded once
-    roll = _maybe_rolling(g_run, cache, cdt)
+    roll = _maybe_rolling(g_run, cache, cdt, mesh=mesh)
 
     def _sync(name: str) -> None:
         nonlocal dev_run
@@ -584,7 +600,7 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         if X is None:
             X = sampling.sample_patches(g_run, dev_run, cache.inputs, conv,
                                         cache.plan, chunk_batches=chunk,
-                                        compute_dtype=cdt)
+                                        compute_dtype=cdt, mesh=mesh)
         if not _epscheck(X, warn=1e5, reject=1e6):
             # extreme accumulated activations would fault the device
             # eigh/SVD kernels — keep the layer untouched
@@ -706,7 +722,7 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                 Xn = sampling.sample_patches(g_run, dev_run, cache.inputs,
                                              convnext, cache.plan,
                                              chunk_batches=chunk,
-                                             compute_dtype=cdt)
+                                             compute_dtype=cdt, mesh=mesh)
             topn = g_run.layer(convnext).tops[0]
             bn2 = p_run[convnext].get(
                 "b", np.zeros(p_run[convnext]["W"].shape[0], np.float32))
@@ -722,7 +738,8 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                 subsample=cfg.lasso.subsample_rows,
                 n_sweeps=cfg.lasso.n_sweeps, grid_size=cfg.lasso.grid_size,
                 max_rounds=cfg.lasso.max_rounds, ridge=cfg.solve.ls_ridge,
-                seed=cfg.sample.seed, mesh=mesh, prefer=cfg.solve.band)
+                seed=cfg.sample.seed, mesh=mesh, group=cfg.dic.grplasso,
+                prefer=cfg.solve.band)
             t_prune = timer.toc()
             p_run[convnext]["W"] = _scatter_inputs(res.W, res.keep)
             p_run[convnext]["b"] = res.b

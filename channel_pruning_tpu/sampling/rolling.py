@@ -19,6 +19,14 @@ frontier is ever materialised.
 `fits_in_hbm`-style guards live in pipeline/c3._maybe_rolling; callers fall
 back to full replays (sampling.sample_patches) for residual topologies or
 oversized calibration sets.
+
+Mesh sharding (SURVEY.md §5 — the sample dimension is this framework's
+scaling axis): with `mesh=`, every frontier group's image axis is sharded
+over the mesh, so the segment advances (the dominant conv work of the solve
+phase) run data-parallel across chips; groups are padded with whole zero
+batches to a device-count multiple and the gathers slice the real batches
+back out, so sampled rows — and therefore channel selections — are identical
+to the single-device pass.
 """
 from __future__ import annotations
 
@@ -34,6 +42,70 @@ from channel_pruning_tpu.ops.patches import (gather_channels_at_points,
                                              gather_patches_at_points)
 
 _STRUCT = (LT.ELTWISE, LT.CONCAT, LT.SELECT)
+
+
+def _pad_batches_for(mesh, step: int, bs: int) -> int:
+    """Smallest number of whole zero batches to append per group so the
+    group's image count divides the mesh (NamedSharding needs an even
+    split). Always < mesh_size / gcd(bs, mesh_size)."""
+    if mesh is None or mesh.devices.size <= 1:
+        return 0
+    D = int(mesh.devices.size)
+    g = np.gcd(bs, D)
+    return int((-step) % (D // g))
+
+
+def _shard_group(a: jax.Array, mesh) -> jax.Array:
+    if mesh is None or mesh.devices.size <= 1:
+        return jnp.asarray(a)
+    from channel_pruning_tpu.parallel import mesh as mesh_mod
+
+    return jax.device_put(a, mesh_mod.batch_sharded(mesh))
+
+
+def _make_groups(flat: np.ndarray, step: int, bs: int, mesh) -> list[jax.Array]:
+    """Split the flat (n_images, C, H, W) calibration set into uniform
+    groups of `step` batches, zero-padded to a mesh-divisible image count
+    and device_put with the batch sharding."""
+    pad_b = _pad_batches_for(mesh, step, bs)
+    gi = step * bs
+    groups = []
+    for i in range(0, flat.shape[0], gi):
+        g = flat[i:i + gi]
+        if pad_b:
+            g = np.concatenate(
+                [np.asarray(g),
+                 np.zeros((pad_b * bs,) + g.shape[1:], g.dtype)], axis=0)
+        groups.append(_shard_group(g, mesh))
+    return groups
+
+
+@functools.lru_cache(maxsize=256)
+def _patch_gather_fn(bs: int, real_b: int, kern):
+    """Jitted per-group patch gather, cached so repeated layers don't
+    re-trace: a (padded_imgs, C, H, W) group -> (real_b*bs*points, C, kh, kw)
+    rows (padded batches sliced away before the gather)."""
+    (kh, kw), (sh, sw), (ph, pw) = kern
+
+    @jax.jit
+    def gather(a, yy, xx):
+        ag = a.reshape((-1, bs) + a.shape[1:])[:real_b]
+        out = jax.vmap(lambda v, y, x: gather_patches_at_points(
+            v, y, x, (kh, kw), (sh, sw), (ph, pw)))(ag, yy, xx)
+        return out.reshape((-1,) + out.shape[2:])
+
+    return gather
+
+
+@functools.lru_cache(maxsize=256)
+def _channel_gather_fn(bs: int, real_b: int):
+    @jax.jit
+    def gather(v, yy, xx):
+        vg = v.reshape((-1, bs) + v.shape[1:])[:real_b]
+        rows = jax.vmap(gather_channels_at_points)(vg, yy, xx)
+        return rows.reshape(-1, rows.shape[-1])
+
+    return gather
 
 
 class FrontierError(RuntimeError):
@@ -57,14 +129,21 @@ def estimate_peak_bytes(graph: Graph, n_images: int, dtype_bytes: int = 4) -> in
 
 @functools.lru_cache(maxsize=64)
 def _segment_fn(graph: Graph, from_tensor: str, to_tensor: str,
-                compute_dtype: str | None):
+                compute_dtype: str | None, mesh=None):
     """Jitted fn(params, acts_at_from) -> acts_at_to, applying the layer
-    slice (from_tensor, to_tensor]. NHWC internally like ops/forward."""
+    slice (from_tensor, to_tensor]. NHWC internally like ops/forward. With
+    `mesh`, the image axis stays sharded through the segment (the conv work
+    is per-image, so XLA partitions it with zero collectives)."""
     from channel_pruning_tpu.sampling.sampler import _dtype_of
 
     start = graph.index(graph.producer(from_tensor).name) if \
         graph.producer(from_tensor) is not None else -1
     cd = _dtype_of(compute_dtype)
+    constraint = None
+    if mesh is not None and mesh.devices.size > 1:
+        from channel_pruning_tpu.parallel import mesh as mesh_mod
+
+        constraint = mesh_mod.batch_sharded(mesh)
 
     @jax.jit
     def fn(params, x):  # x: (N, C, H, W)
@@ -75,7 +154,10 @@ def _segment_fn(graph: Graph, from_tensor: str, to_tensor: str,
             compute_layer(l, env, params, compute_dtype=cd)
             if to_tensor in env:
                 break
-        return jnp.transpose(env[to_tensor], (0, 3, 1, 2))
+        out = jnp.transpose(env[to_tensor], (0, 3, 1, 2))
+        if constraint is not None:
+            out = jax.lax.with_sharding_constraint(out, constraint)
+        return out
 
     return fn
 
@@ -85,7 +167,8 @@ class RollingReplay:
     per-group chunks."""
 
     def __init__(self, graph: Graph, inputs: np.ndarray,
-                 compute_dtype: str | None = None, group_batches: int = 10):
+                 compute_dtype: str | None = None, group_batches: int = 10,
+                 mesh=None):
         self.graph = graph
         self.batch_size = inputs.shape[1]
         n_batches = inputs.shape[0]
@@ -94,10 +177,10 @@ class RollingReplay:
             step -= 1  # uniform groups -> one compile serves all
         self.group_batches = step
         self.n_images = n_batches * self.batch_size
+        self.mesh = mesh
         flat = inputs.reshape((-1,) + inputs.shape[2:])
-        gi = step * self.batch_size
-        self.groups: list[jax.Array] = [
-            jnp.asarray(flat[i:i + gi]) for i in range(0, flat.shape[0], gi)]
+        self.groups: list[jax.Array] = _make_groups(
+            flat, step, self.batch_size, mesh)
         self.tensor = graph.inputs[0].name
         self.compute_dtype = compute_dtype
 
@@ -112,7 +195,8 @@ class RollingReplay:
                             self.graph.index(prod.name) <=
                             self.graph.index(cur.name)):
             raise FrontierError(f"cannot rewind frontier to {tensor}")
-        fn = _segment_fn(self.graph, self.tensor, tensor, self.compute_dtype)
+        fn = _segment_fn(self.graph, self.tensor, tensor, self.compute_dtype,
+                         self.mesh)
         for i in range(len(self.groups)):
             self.groups[i] = fn(params, self.groups[i])
         self.tensor = tensor
@@ -128,14 +212,7 @@ class RollingReplay:
         ys_all, xs_all = plan[l.tops[0]]
         kern = ((geo["kh"], geo["kw"]), (geo["sh"], geo["sw"]),
                 (geo["ph"], geo["pw"]))
-        bs = self.batch_size
-
-        @jax.jit
-        def gather(a, yy, xx):
-            ag = a.reshape((-1, bs) + a.shape[1:])
-            out = jax.vmap(lambda v, y, x: gather_patches_at_points(
-                v, y, x, *kern))(ag, yy, xx)
-            return out.reshape((-1,) + out.shape[2:])
+        gather = _patch_gather_fn(self.batch_size, self.group_batches, kern)
 
         outs = []
         for gi, g in enumerate(self.groups):
@@ -150,15 +227,10 @@ class RollingReplay:
     def features_at(self, params, plan, tensor: str) -> np.ndarray:
         """Sampled responses of `tensor` computed from the frontier (one
         layer-segment forward per group, frontier unchanged)."""
-        fn = _segment_fn(self.graph, self.tensor, tensor, self.compute_dtype)
+        fn = _segment_fn(self.graph, self.tensor, tensor, self.compute_dtype,
+                         self.mesh)
         ys_all, xs_all = plan[tensor]
-        bs = self.batch_size
-
-        @jax.jit
-        def gather(v, yy, xx):
-            vg = v.reshape((-1, bs) + v.shape[1:])
-            rows = jax.vmap(gather_channels_at_points)(vg, yy, xx)
-            return rows.reshape(-1, rows.shape[-1])
+        gather = _channel_gather_fn(self.batch_size, self.group_batches)
 
         outs = []
         for gi, g in enumerate(self.groups):
@@ -213,7 +285,8 @@ class RollingReplayDAG:
     features_at)."""
 
     def __init__(self, graph: Graph, inputs: np.ndarray,
-                 compute_dtype: str | None = None, group_batches: int = 10):
+                 compute_dtype: str | None = None, group_batches: int = 10,
+                 mesh=None):
         from channel_pruning_tpu.sampling.sampler import _dtype_of
 
         self.graph = graph
@@ -225,17 +298,21 @@ class RollingReplayDAG:
         self.group_batches = step
         self.n_groups = n_batches // step
         self.n_images = n_batches * self.batch_size
+        self.mesh = mesh
         flat = inputs.reshape((-1,) + inputs.shape[2:])
-        gi = step * self.batch_size
         in_name = graph.inputs[0].name
         # state: {tensor: [group arrays]}
         self.state: dict[str, list[jax.Array]] = {
-            in_name: [jnp.asarray(flat[i:i + gi])
-                      for i in range(0, flat.shape[0], gi)]}
+            in_name: _make_groups(flat, step, self.batch_size, mesh)}
         self.pos = -1                      # index of last executed layer
         self.last = _last_use(graph)
         self.cd = _dtype_of(compute_dtype)
         self._seg_cache: dict = {}
+        self._constraint = None
+        if mesh is not None and mesh.devices.size > 1:
+            from channel_pruning_tpu.parallel import mesh as mesh_mod
+
+            self._constraint = mesh_mod.batch_sharded(mesh)
 
     def _segment(self, target_idx: int):
         """Jitted fn(params, state_dict) -> new state_dict executing layers
@@ -246,6 +323,7 @@ class RollingReplayDAG:
             return fn
         graph, pos, last, cd = self.graph, self.pos, self.last, self.cd
         keep_after = target_idx
+        constraint = self._constraint
 
         @jax.jit
         def fn(params, state):
@@ -258,7 +336,10 @@ class RollingReplayDAG:
             for t, v in env.items():
                 if last.get(t, -1) > keep_after or \
                         t in graph.layers[target_idx].tops:
-                    out[t] = jnp.transpose(v, (0, 3, 1, 2))
+                    o = jnp.transpose(v, (0, 3, 1, 2))
+                    if constraint is not None:
+                        o = jax.lax.with_sharding_constraint(o, constraint)
+                    out[t] = o
             return out
 
         self._seg_cache[key] = fn
@@ -292,14 +373,7 @@ class RollingReplayDAG:
         ys_all, xs_all = plan[l.tops[0]]
         kern = ((geo["kh"], geo["kw"]), (geo["sh"], geo["sw"]),
                 (geo["ph"], geo["pw"]))
-        bs = self.batch_size
-
-        @jax.jit
-        def gather(a, yy, xx):
-            ag = a.reshape((-1, bs) + a.shape[1:])
-            out = jax.vmap(lambda v, y, x: gather_patches_at_points(
-                v, y, x, *kern))(ag, yy, xx)
-            return out.reshape((-1,) + out.shape[2:])
+        gather = _patch_gather_fn(self.batch_size, self.group_batches, kern)
 
         outs = []
         for gi, g in enumerate(self.state[bottom]):
@@ -313,13 +387,7 @@ class RollingReplayDAG:
         """Sampled responses of `tensor`: directly from the cut when alive,
         otherwise computed forward from the cut (state unchanged)."""
         ys_all, xs_all = plan[tensor]
-        bs = self.batch_size
-
-        @jax.jit
-        def gather(v, yy, xx):
-            vg = v.reshape((-1, bs) + v.shape[1:])
-            rows = jax.vmap(gather_channels_at_points)(vg, yy, xx)
-            return rows.reshape(-1, rows.shape[-1])
+        gather = _channel_gather_fn(self.batch_size, self.group_batches)
 
         if tensor in self.state:
             groups = self.state[tensor]

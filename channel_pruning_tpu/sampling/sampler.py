@@ -328,10 +328,13 @@ def _sample_features_fused(graph: Graph, params, inputs: np.ndarray,
 def sample_patches(graph: Graph, params, inputs: np.ndarray, conv: str,
                    plan: Mapping[str, tuple[np.ndarray, np.ndarray]],
                    chunk_batches: int = 25,
-                   compute_dtype: str | None = None) -> np.ndarray:
+                   compute_dtype: str | None = None,
+                   mesh=None) -> np.ndarray:
     """Replay the *current* graph and gather the (N, c, kh, kw) input patches
     of `conv` at its planned output points (extract_XY, lib/net.py:534-684).
-    The plan is keyed by conv top tensor name."""
+    The plan is keyed by conv top tensor name. With a multi-device `mesh`
+    the replay chunk's image axis shards across it (same SPMD plan as the
+    freeze — per-image conv work, no collectives)."""
     l = graph.layer(conv)
     geo = l.conv_geometry()
     bottom = l.bottoms[0]
@@ -341,12 +344,18 @@ def sample_patches(graph: Graph, params, inputs: np.ndarray, conv: str,
                          (geo["sh"], geo["sw"]), (geo["ph"], geo["pw"]),
                          compute_dtype)
     ys_all, xs_all = plan[top]
+    chunk_g = next(iter(_chunk_iter(inputs, chunk_batches)))[1]
+    place_x, place_p = _mesh_placer(mesh, chunk_g, bs)
+    if place_x is not None:
+        params = _replicate_params(params, mesh)
     outs = []
     for lo, hi in _chunk_iter(inputs, chunk_batches):
         runtime_heartbeat()
         x = chunked_device_put(inputs[lo:hi].reshape((-1,) + inputs.shape[2:]))
-        outs.append(np.asarray(fn(params, x, jnp.asarray(ys_all[lo:hi]),
-                                  jnp.asarray(xs_all[lo:hi]))))
+        yy, xx = jnp.asarray(ys_all[lo:hi]), jnp.asarray(xs_all[lo:hi])
+        if place_x is not None:
+            x, yy, xx = place_x(x), place_p(yy), place_p(xx)
+        outs.append(np.asarray(fn(params, x, yy, xx)))
     return np.concatenate(outs, axis=0)
 
 

@@ -42,6 +42,15 @@ class DicConfig:
     alter: bool = False        # alternating LASSO <-> lstsq refinement (decompose.py:526-580)
     vh: bool = True            # gate spatial decomposition + pruning (cfgs.py:78)
     fitfc: bool = False        # include FC layers in solve set (cfgs.py:73)
+    # route 1x1-kernel consumers through the row-sparse group lasso
+    # (MultiTaskLasso). The reference CODE carries this branch
+    # (decompose.py:439-444) but ships it disabled — the gate reads
+    # `if h == 1 and False:` (decompose.py:406) and the grplasso_kernel
+    # selected by dic.afterconv is undefined (net.py:87) — so the SHIPPED
+    # semantics, and our default, is the summed single-task form for every
+    # consumer. True enables the intended group selection for 1x1/FC; the
+    # released ResNet-50 tables were produced with the shipped (False) path.
+    grplasso: bool = False
     debug: bool = False
 
 
@@ -91,12 +100,13 @@ class SolveConfig:
     # lands on the exact requested count — used when reproducing a released
     # structure table where the channel count itself is ground truth
     band: str = "top"
-    # replay/extraction compute dtype. bf16 forwards were measured
-    # selection-identical to f32 with rMSE matching to 1e-3 (BENCH_NOTES)
-    # and roughly double the MXU rate; the SOLVER math itself always runs
-    # f32-precision (ops/lstsq.f32_matmuls). Override with
-    # --set solve.dtype=float32.
-    dtype: str = "bfloat16"
+    # replay/extraction compute dtype. The reference runs f32 everywhere;
+    # that stays the global default. bf16 forwards were measured
+    # selection-identical to f32 (rMSE to 1e-3, BENCH_NOTES) on VGG-16 —
+    # the VGG CLI presets opt in, and any run can via
+    # --set solve.dtype=bfloat16. The SOLVER math itself always runs
+    # f32-precision (ops/lstsq.f32_matmuls) either way.
+    dtype: str = "float32"
 
 
 @dataclass(frozen=True)

@@ -80,3 +80,59 @@ def time_forward(graph, params, batch: int | None = None, iters: int = 20,
         "images_per_sec": float(b / times.mean()),
         "mfu": float(mfu(flops_per_image * b, times.mean())),
     }
+
+
+def time_forward_device_loop(graph, params, batch: int | None = None,
+                             steps: int = 20, repeats: int = 3,
+                             compute_dtype=None) -> dict[str, float]:
+    """Compute-honest forward timing: `steps` forwards chained into ONE
+    device program (lax.fori_loop with a data dependency between
+    iterations), so the host<->device round-trip — ~25 ms over the tunneled
+    chip, half of a per-dispatch step time at batch 64 — is paid once per
+    `steps` instead of once per step. This is the number that reflects what
+    the chip does, vs `time_forward` which reflects what a per-dispatch
+    caller sees (both are real; the reference's `caffe time` is the latter,
+    lib/net.py:1760)."""
+    from channel_pruning_tpu.ops.forward import run_graph, to_device_params
+    from channel_pruning_tpu.utils import flops as flops_mod
+
+    shape = graph.inputs[0].shape
+    b = batch or shape[0]
+    x0 = jax.numpy.asarray(
+        np.random.default_rng(0).normal(0, 1, (b,) + tuple(shape[1:]))
+        .astype(np.float32))
+    dev = to_device_params(params)
+    input_name = graph.inputs[0].name
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(params, x, n):
+        def body(_, carry):
+            x, acc = carry
+            outs, _ = run_graph(graph, params, {input_name: x},
+                                compute_dtype=compute_dtype)
+            s = sum(o.sum().astype(jax.numpy.float32)
+                    for o in outs.values())
+            # 1e-30*s chains the iterations (not algebraically removable,
+            # numerically a no-op) so XLA cannot elide or overlap-collapse
+            # the n forwards
+            return x + 1e-30 * s, acc + s
+        _, acc = jax.lax.fori_loop(0, n, body, (x, jax.numpy.float32(0)))
+        return acc
+
+    float(loop(dev, x0, steps))            # compile + warm
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(loop(dev, x0, steps))        # scalar fetch = execution fence
+        times.append((time.perf_counter() - t0) / steps)
+    per_step = float(np.min(times))        # min: least host-noise sample
+    flops_per_image = 2.0 * flops_mod.total_flops(graph)
+    return {
+        "batch": float(b),
+        "steps": float(steps),
+        "device_ms_per_step": per_step * 1e3,
+        "images_per_sec": float(b / per_step),
+        "mfu": float(mfu(flops_per_image * b, per_step)),
+    }

@@ -167,8 +167,10 @@ class Watchdog:
     def _watch(self):
         while not self._stop.wait(self.poll_s):
             if self.stale():
-                self._on_stale()
-                return
+                # _on_stale may report a false alarm (progress resumed
+                # while probing) by returning "resume" — keep watching then
+                if self._on_stale() != "resume":
+                    return
 
     def _reexec(self):
         import os
@@ -182,10 +184,30 @@ class Watchdog:
                   "budget exhausted; giving up")
             os._exit(3)
         print(f"[watchdog] no progress for {idle:.0f}s (hung device op?); "
-              "re-executing to reconnect")
+              "probing device health before re-exec")
         sys.stdout.flush()
-        if not wait_for_device_subprocess():
+        mark = self._last
+        healthy = wait_for_device_subprocess()
+        if healthy and self._last == mark:
+            # the device answers fresh processes, but is this process wedged
+            # or just slow (cold compile, big grid solve)? Grant one more
+            # limit_s of grace: a live op will finish and beat; a dead
+            # client never will (the known axon signature).
+            deadline = time.monotonic() + self.limit_s
+            while time.monotonic() < deadline and self._last == mark:
+                if self._stop.wait(self.poll_s):
+                    return "resume"
+        if self._last != mark:
+            # a beat arrived while probing: the stall was a slow-but-live
+            # op, not a wedged client
+            print("[watchdog] progress resumed during probe; false alarm")
+            return "resume"
+        if not healthy:
             os._exit(3)
+        # healthy fresh-process probe + repeated stall = the dead-client
+        # signature (new processes connect instantly, this one never will)
+        print("[watchdog] re-executing to reconnect")
+        sys.stdout.flush()
         os.environ["CP_TPU_REEXEC"] = str(n + 1)
         os.execv(sys.executable, [sys.executable] + self.argv)
 

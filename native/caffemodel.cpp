@@ -11,7 +11,8 @@
 // legacy layers(2); LayerParameter name(1)/type(2)/blobs(7), V1 name(4)/
 // type-enum(5)/blobs(6); BlobProto shape(7){packed or repeated dim(1)},
 // legacy num/channels/height/width(1-4), packed float data(5), packed
-// double data(9). Anything else structurally unexpected -> return -1 and
+// double data(8); diff(6)/double_diff(9) are skipped. Anything else
+// structurally unexpected -> return -1 and
 // the caller falls back to the pure-Python parser (identical semantics).
 
 #include <cstdint>
@@ -120,12 +121,15 @@ bool parse_blob(Reader sub, int64_t base, int64_t* out, int64_t cap,
             rec[1] = base + off;
             rec[2] = len / 4;
             rec[3] = 0;
-        } else if (f == 9 && wt == 2) {        // packed double data
+        } else if (f == 8 && wt == 2) {        // packed double data
             if (!sub.value(wt, &off, &len)) return false;
             if (data_chunks++ || (len & 7)) return false;
             rec[1] = base + off;
             rec[2] = len / 8;
             rec[3] = 1;
+        } else if ((f == 6 || f == 9) && wt == 2) {
+            // diff / double_diff: gradients, skip without claiming data
+            if (!sub.value(wt, &off, &len)) return false;
         } else if (f == 5 && wt == 5) {
             return false;                      // unpacked floats: fall back
         } else if (f >= 1 && f <= 4 && wt == 0) {

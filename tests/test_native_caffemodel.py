@@ -89,9 +89,13 @@ def test_native_legacy_v1_and_f64(tmp_path):
         cm._tag(blob, f, 0)
         cm._write_varint(blob, v)
     data = np.arange(6, dtype="<f8")
-    cm._tag(blob, 9, 2)                        # packed double
+    cm._tag(blob, 8, 2)                        # packed double_data (caffe.proto)
     cm._write_varint(blob, data.nbytes)
     blob += data.tobytes()
+    diff = np.full(6, 99.0, dtype="<f8")
+    cm._tag(blob, 9, 2)                        # packed double_diff: must skip
+    cm._write_varint(blob, diff.nbytes)
+    blob += diff.tobytes()
     cm._put_bytes(layer, 6, bytes(blob))       # V1 blobs field
     cm._put_bytes(out, 2, bytes(layer))        # legacy layers field
     p = tmp_path / "legacy.caffemodel"
@@ -104,6 +108,8 @@ def test_native_legacy_v1_and_f64(tmp_path):
     assert layers[0].name == "conv1" and layers[0].type == "Convolution"
     assert layers[0].blobs[0].shape == (2, 3, 1, 1)
     assert layers[0].blobs[0].dtype == np.float32
+    np.testing.assert_allclose(layers[0].blobs[0].ravel(),
+                               np.arange(6, dtype=np.float32))
     _assert_same(native, _python_load(p))
 
 

@@ -390,3 +390,99 @@ def test_pallas_hbm_cd_kernel_interpret_parity(rng):
     b_h = np.asarray(lasso_cd.cd_solve_grid_pallas_hbm(
         gram.G, gram.b, alphas, n_sweeps=200, interpret=True))
     np.testing.assert_allclose(b_h, b_x, rtol=1e-4, atol=1e-5)
+
+
+def test_group_vs_summed_selection_1x1_consumer(rng):
+    """VERDICT r2 #6: the reference CODE has a MultiTaskLasso branch for
+    1x1/FC consumers (decompose.py:439-444) but SHIPS it disabled
+    (`if h == 1 and False`, decompose.py:406) — so summed single-task is the
+    shipped default here too, with dic.grplasso=True enabling the intended
+    group form. On a ResNet-gate-shaped 1x1 problem both branches must
+    recover the planted support, and with prefer="bottom" both must land on
+    the exact requested count (released-table fidelity is band-choice-,
+    not solver-branch-, dependent)."""
+    from channel_pruning_tpu.pipeline.prune import select_and_reconstruct
+
+    N, c, n, rank = 3000, 64, 128, 24
+    planted = np.sort(rng.choice(c, rank, replace=False))
+    X = rng.normal(0, 1, (N, c, 1, 1)).astype(np.float32)
+    W2 = np.zeros((n, c, 1, 1), np.float32)
+    W2[:, planted] = rng.normal(0, 1, (n, rank, 1, 1)).astype(np.float32) / rank
+    Y = (np.einsum("nchw,ochw->no", X, W2)
+         + 0.01 * rng.normal(size=(N, n))).astype(np.float32)
+
+    res_sum = select_and_reconstruct(X, W2, Y, rank, group=False,
+                                     prefer="bottom", seed=0)
+    res_grp = select_and_reconstruct(X, W2, Y, rank, group=True,
+                                     prefer="bottom", seed=0)
+    want = np.zeros(c, bool)
+    want[planted] = True
+    # exact requested count on both branches (structural fidelity)
+    assert int(res_sum.keep.sum()) == rank
+    assert int(res_grp.keep.sum()) == rank
+    # both recover the planted support
+    np.testing.assert_array_equal(res_sum.keep, want)
+    np.testing.assert_array_equal(res_grp.keep, want)
+    # and both reconstruct well
+    assert res_sum.rmse_after < 0.1 and res_grp.rmse_after < 0.1
+
+
+def test_grplasso_knob_routes_through_pipeline(rng):
+    """dic.grplasso=True must actually change the selection path for a 1x1
+    consumer inside solve_prune (and preserve a valid in-band structure)."""
+    from channel_pruning_tpu.graph.ir import shapes_of
+    from channel_pruning_tpu.models.resnet import build_tiny_resnet
+    from channel_pruning_tpu.ops.forward import to_device_params
+    from channel_pruning_tpu.pipeline import c3
+    from channel_pruning_tpu.sampling import freeze
+    from channel_pruning_tpu.sampling.sampler import resnet_share_key
+    from channel_pruning_tpu.utils.config import default_config
+
+    g0, p0 = build_tiny_resnet(batch=4, image_size=32)
+    g, p = c3.preprocess(g0, p0)
+    inputs = rng.normal(0, 1, (6, 4, 3, 32, 32)).astype(np.float32)
+    cache = freeze(g, to_device_params(p), inputs, n_points=4, seed=0,
+                   chunk_batches=3, share_key=resnet_share_key(g))
+    # prune one 1x1 consumer's inputs (branch2c consumes branch2b's outputs
+    # through a 1x1 conv — the ResNet gate shape)
+    consumer = next(c for c in g.convs if c.endswith("branch2c"))
+    prod = next(c for c in g.convs if c.endswith("branch2b"))
+    t = max(2, int(g.layer(prod).attr("num_output")) // 2)
+    cfg = default_config().replace_nested("dic.grplasso", "true")
+    cfg = cfg.replace_nested("solve.band", "bottom")
+    res = c3.solve_prune(g, p, cache, cfg, channel_targets={prod: t},
+                         verbose=False)
+    assert consumer in res.selections
+    assert int(res.selections[consumer].sum()) == t
+    res.graph.validate()
+
+
+def test_band_endpoints_at_scale_c512(rng):
+    """VERDICT r2 #9: at c=512 the band endpoints must hold — bottom returns
+    EXACTLY `rank`; top lands in [rank, rank + tol*rank] at (or above) the
+    bottom's support (reference band semantics decompose.py:487-525)."""
+    N, c, rank, tol = 3000, 512, 256, 0.1
+    base = rng.normal(0, 1, (N, c // 4)).astype(np.float32)
+    mix = rng.normal(0, 0.5, (c // 4, c)).astype(np.float32)
+    Z = (base @ mix + 0.3 * rng.normal(0, 1, (N, c))).astype(np.float32)
+    beta = (rng.normal(size=c) * (rng.uniform(size=c) < 0.7)).astype(np.float32)
+    y = (Z @ beta + 0.05 * rng.normal(size=N)).astype(np.float32)
+    gram = lasso.lasso_gram(Z, y)
+    m_bot, _, s_bot = lasso.search_alpha(gram, rank, tol, prefer="bottom")
+    assert s_bot == rank and int(m_bot.sum()) == rank
+    m_top, _, s_top = lasso.search_alpha(gram, rank, tol, prefer="top")
+    assert rank <= s_top <= rank + int(tol * rank)
+    assert s_top >= s_bot
+
+
+def test_selection_iou_vs_sklearn_at_c256(rng):
+    """IoU >= 0.95 vs the sklearn-oracle algorithm at c=256 (bench-scale
+    parity pinned in CI, not just in bench.py — VERDICT r2 #9)."""
+    from bench import make_problem, sklearn_solve
+    from channel_pruning_tpu.ops import lasso as L
+
+    X, W2, Y, rank = make_problem(seed=3, N=8000, c=256, n=64, k=1, rank=150)
+    keep, alpha, support = L.select_channels(X, W2, Y, rank, seed=0)
+    _, sk_kept, _, sk_mask = sklearn_solve(X, W2, Y, rank)
+    iou = float((keep & sk_mask).sum() / max((keep | sk_mask).sum(), 1))
+    assert iou >= 0.95, (iou, int(keep.sum()), sk_kept)

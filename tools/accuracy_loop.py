@@ -7,8 +7,13 @@ compression mode run  prune -> eval -> finetune-recover -> eval  entirely
 through the CLI, and report the accuracy deltas (the analogue of the
 README.md:20-26 accuracy table).
 
+Stress preset (VERDICT r2 #1 — put real tension on the recovery loop):
+`--stress` trains on a ~160-image subset and compresses 12-32x, which makes
+pruning actually COST accuracy; the acceptance bar is that CLI finetune
+recovers >=80% of the drop. Default modes reproduce the round-2 table.
+
 Usage: python tools/accuracy_loop.py [--work /tmp/digits_loop]
-       [--data /tmp/digits] [--modes 2.0,4.0,3c]
+       [--data /tmp/digits] [--modes 2.0,4.0,3c] [--stress]
 Writes <work>/accuracy_loop.json and prints a markdown table.
 """
 from __future__ import annotations
@@ -30,6 +35,37 @@ def ev(prototxt, weights, data_val, batch=61):
                      "--batch", str(batch)])
 
 
+def subset_imagefolder(src: Path, dst: Path, limit: int, seed: int = 0):
+    """Class-balanced subset of an imagefolder (hard-links, no copies)."""
+    import numpy as np
+    import os
+
+    if dst.exists():
+        return dst
+    rng = np.random.default_rng(seed)
+    classes = sorted(d for d in src.iterdir() if d.is_dir())
+    per = max(1, limit // len(classes))
+    for c in classes:
+        files = sorted(c.iterdir())
+        pick = rng.choice(len(files), min(per, len(files)), replace=False)
+        outd = dst / c.name
+        outd.mkdir(parents=True, exist_ok=True)
+        for i in pick:
+            os.link(files[i], outd / files[i].name)
+    n = sum(1 for c in dst.iterdir() for _ in c.iterdir())
+    print(f"[loop] train subset: {n} images -> {dst}")
+    return dst
+
+
+def parse_mode(mode: str):
+    """'2.0' -> prune@2x; '3c' -> 3c@4x; '3c8' -> 3c@8x."""
+    mode = mode.strip()
+    if mode.startswith("3c"):
+        speed = mode[2:] or "4.0"
+        return True, speed, f"3c{speed}" if mode[2:] else "3c"
+    return False, mode, f"cp{mode}"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--work", default="/tmp/digits_loop")
@@ -37,8 +73,20 @@ def main():
     ap.add_argument("--modes", default="2.0,4.0,3c")
     ap.add_argument("--train-steps", type=int, default=800)
     ap.add_argument("--recover-steps", type=int, default=400)
+    ap.add_argument("--recover-lr", default="1e-4")
     ap.add_argument("--cal-batches", type=int, default=50)
+    ap.add_argument("--train-limit", type=int, default=0,
+                    help="train on a class-balanced subset of N images")
+    ap.add_argument("--stress", action="store_true",
+                    help="preset: 160-image train split, 12-32x compression "
+                         "(prune must cost >=5 points; recovery must restore "
+                         ">=80%% of the drop)")
     args = ap.parse_args()
+    if args.stress:
+        args.train_limit = args.train_limit or 160
+        if args.modes == "2.0,4.0,3c":
+            args.modes = "12.0,20.0,32.0,3c8"
+        args.recover_steps = max(args.recover_steps, 600)
 
     work = Path(args.work)
     work.mkdir(parents=True, exist_ok=True)
@@ -47,6 +95,10 @@ def main():
         from make_digits_dataset import build  # sibling script
         build(data)
     train_dir, val_dir = data / "train", data / "val"
+    if args.train_limit:
+        train_dir = subset_imagefolder(train_dir,
+                                       work / f"train_{args.train_limit}",
+                                       args.train_limit)
     t0 = time.time()
 
     # 1. train from scratch with the repo's own finetune loop
@@ -61,14 +113,11 @@ def main():
     print(f"[loop] baseline val top1 {base['accuracy@1']:.4f}")
 
     rows = [{"mode": "baseline", "speedup": 1.0,
-             "top1": base["accuracy@1"],
+             "top1": base["accuracy@1"], "top5": base.get("accuracy@5"),
              "top1_recovered": base["accuracy@1"]}]
 
     for mode in args.modes.split(","):
-        mode = mode.strip()
-        is_3c = mode == "3c"
-        tag = "3c" if is_3c else f"cp{mode}"
-        speed = "4.0" if is_3c else mode
+        is_3c, speed, tag = parse_mode(mode)
         wd = work / tag
         prefix = "3C" if is_3c else "cp"
         pruned_pt = wd / f"{prefix}_digits_vgg.prototxt"
@@ -89,27 +138,42 @@ def main():
         pruned = ev(pruned_pt, pruned_w, val_dir)
         cli.main(["finetune", "--prototxt", str(pruned_pt), "--weights",
                   str(pruned_w), "--data-dir", str(train_dir), "--batch",
-                  "64", "--lr", "1e-4", "--steps", str(args.recover_steps),
+                  "64", "--lr", args.recover_lr,
+                  "--steps", str(args.recover_steps),
                   "--work-dir", str(wd)])
         rec_pt = wd / f"ft_{res.graph.name}.prototxt"
         rec_w = wd / f"ft_{res.graph.name}.caffemodel"
         rec = ev(rec_pt, rec_w, val_dir)
+        drop = base["accuracy@1"] - pruned["accuracy@1"]
+        regain = rec["accuracy@1"] - pruned["accuracy@1"]
+        frac = regain / drop if drop > 1e-9 else float("nan")
         rows.append({"mode": tag, "speedup": round(ratio, 2),
                      "top1": pruned["accuracy@1"],
-                     "top1_recovered": rec["accuracy@1"]})
+                     "top5": pruned.get("accuracy@5"),
+                     "top1_recovered": rec["accuracy@1"],
+                     "top5_recovered": rec.get("accuracy@5"),
+                     "drop": round(drop, 4),
+                     "recovered_frac": round(frac, 3)})
         print(f"[loop] {tag}: {ratio:.2f}x conv-mults, "
               f"top1 {pruned['accuracy@1']:.4f} -> "
-              f"{rec['accuracy@1']:.4f} after recovery")
+              f"{rec['accuracy@1']:.4f} after recovery "
+              f"(drop {drop:+.4f}, recovered {frac:.0%})"
+              if drop > 1e-9 else
+              f"[loop] {tag}: {ratio:.2f}x, no drop to recover")
 
     out = {"baseline_top1": base["accuracy@1"], "rows": rows,
+           "train_images": args.train_limit or "full",
            "val_images": base["n_images"], "wall_s": round(time.time() - t0, 1)}
     (work / "accuracy_loop.json").write_text(json.dumps(out, indent=2))
-    print("\n| mode | conv speed-up | top-1 after prune | top-1 recovered | delta vs baseline |")
-    print("|---|---|---|---|---|")
+    print("\n| mode | conv speed-up | top-1 after prune | top-1 recovered "
+          "| delta vs baseline | drop recovered |")
+    print("|---|---|---|---|---|---|")
     for r in rows:
+        frac = r.get("recovered_frac")
+        frac_s = f"{frac:.0%}" if frac is not None and frac == frac else "-"
         print(f"| {r['mode']} | {r['speedup']}x | {r['top1']:.4f} | "
               f"{r['top1_recovered']:.4f} | "
-              f"{r['top1_recovered'] - base['accuracy@1']:+.4f} |")
+              f"{r['top1_recovered'] - base['accuracy@1']:+.4f} | {frac_s} |")
     print(f"\ntotal wall: {out['wall_s']}s -> {work}/accuracy_loop.json")
 
 
