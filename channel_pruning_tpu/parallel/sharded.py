@@ -21,6 +21,18 @@ from channel_pruning_tpu.parallel import mesh as mesh_mod
 P = jax.sharding.PartitionSpec
 
 
+def _row_shard(x, mesh: jax.sharding.Mesh):
+    """Place `x` row-sharded on the mesh. Device arrays whose leading dim
+    divides the mesh reshard ON DEVICE (no host round-trip — the rolling
+    frontier hands the solvers ~0.5 GB sharded patch matrices per layer);
+    everything else pads on host first."""
+    D = int(mesh.devices.size)
+    if isinstance(x, jax.Array) and x.shape[0] % D == 0:
+        return jax.device_put(x, mesh_mod.batch_sharded(mesh)), x.shape[0]
+    xp, n = mesh_mod.pad_to_multiple(jax.device_get(jnp.asarray(x)), D)
+    return jnp.asarray(xp), n
+
+
 @functools.lru_cache(maxsize=8)
 def _gram_fn(mesh: jax.sharding.Mesh):
     data = mesh_mod.batch_sharded(mesh)
@@ -38,11 +50,9 @@ def sharded_lasso_gram(Z, y, mesh: jax.sharding.Mesh) -> LassoGram:
     """Row-sharded ZᵀZ / Zᵀy with an ICI all-reduce; result replicated so the
     (c x c) CD solve runs identically on every device."""
     n = Z.shape[0]
-    Zp, _ = mesh_mod.pad_to_multiple(jax.device_get(jnp.asarray(Z)),
-                                     mesh.devices.size)
-    yp, _ = mesh_mod.pad_to_multiple(jax.device_get(jnp.asarray(y)),
-                                     mesh.devices.size)
-    G, b = _gram_fn(mesh)(jnp.asarray(Zp), jnp.asarray(yp))
+    Zp, _ = _row_shard(Z, mesh)
+    yp, _ = _row_shard(y, mesh)
+    G, b = _gram_fn(mesh)(Zp, yp)
     return LassoGram(G=G, b=b, n_samples=n)
 
 
@@ -64,11 +74,9 @@ def sharded_group_gram(X, Y, mesh: jax.sharding.Mesh):
     from channel_pruning_tpu.ops.lasso import GroupGram
 
     n = X.shape[0]
-    Xp, _ = mesh_mod.pad_to_multiple(jax.device_get(jnp.asarray(X)),
-                                     mesh.devices.size)
-    Yp, _ = mesh_mod.pad_to_multiple(jax.device_get(jnp.asarray(Y)),
-                                     mesh.devices.size)
-    G, C = _group_gram_fn(mesh)(jnp.asarray(Xp), jnp.asarray(Yp))
+    Xp, _ = _row_shard(X, mesh)
+    Yp, _ = _row_shard(Y, mesh)
+    G, C = _group_gram_fn(mesh)(Xp, Yp)
     return GroupGram(G=G, C=C, n_samples=n)
 
 
@@ -92,11 +100,9 @@ def sharded_lstsq(X, Y, mesh: jax.sharding.Mesh, ridge: float = 0.0,
     """Centered normal-equation least squares with row-sharded reduction:
     W, b = argmin ||X Wᵀ + b − Y||² (ops/lstsq.py semantics, distributed)."""
     n = X.shape[0]
-    Xp, _ = mesh_mod.pad_to_multiple(jax.device_get(jnp.asarray(X)),
-                                     mesh.devices.size)
-    Yp, _ = mesh_mod.pad_to_multiple(jax.device_get(jnp.asarray(Y)),
-                                     mesh.devices.size)
-    XtX, XtY, sx, sy = _moments_fn(mesh)(jnp.asarray(Xp), jnp.asarray(Yp))
+    Xp, _ = _row_shard(X, mesh)
+    Yp, _ = _row_shard(Y, mesh)
+    XtX, XtY, sx, sy = _moments_fn(mesh)(Xp, Yp)
     xm, ym = sx / n, sy / n
     Gc = XtX - n * jnp.outer(xm, xm)
     Cc = XtY - n * jnp.outer(xm, ym)

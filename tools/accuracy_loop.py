@@ -74,6 +74,8 @@ def main():
     ap.add_argument("--train-steps", type=int, default=800)
     ap.add_argument("--recover-steps", type=int, default=400)
     ap.add_argument("--recover-lr", default="1e-4")
+    ap.add_argument("--recover-lr-step", type=int, default=0,
+                    help="step-decay the recovery lr (solver.prototxt policy)")
     ap.add_argument("--cal-batches", type=int, default=50)
     ap.add_argument("--train-limit", type=int, default=0,
                     help="train on a class-balanced subset of N images")
@@ -136,11 +138,14 @@ def main():
                  max(flops.total_flops(res.graph, include_fc=False), 1))
 
         pruned = ev(pruned_pt, pruned_w, val_dir)
-        cli.main(["finetune", "--prototxt", str(pruned_pt), "--weights",
-                  str(pruned_w), "--data-dir", str(train_dir), "--batch",
-                  "64", "--lr", args.recover_lr,
-                  "--steps", str(args.recover_steps),
-                  "--work-dir", str(wd)])
+        ft_args = ["finetune", "--prototxt", str(pruned_pt), "--weights",
+                   str(pruned_w), "--data-dir", str(train_dir), "--batch",
+                   "64", "--lr", args.recover_lr,
+                   "--steps", str(args.recover_steps),
+                   "--work-dir", str(wd)]
+        if args.recover_lr_step:
+            ft_args += ["--lr-step", str(args.recover_lr_step)]
+        cli.main(ft_args)
         rec_pt = wd / f"ft_{res.graph.name}.prototxt"
         rec_w = wd / f"ft_{res.graph.name}.caffemodel"
         rec = ev(rec_pt, rec_w, val_dir)
