@@ -100,6 +100,23 @@ def device_solve(X, W2, Y, rank, *, subsample=400, seed=0, repeats=5):
     fence(W2_[0, 0])
     phases["reconstruct_ms"] = (time.perf_counter() - t0) * 1e3
 
+    # solve-phase utilization: MACs of the two MXU-bound phases over their
+    # fenced wall (RTT-inclusive, so this is a LOWER bound on chip utilization;
+    # matmuls run f32 by the solver pin → peak is ~1/4 of the bf16 number)
+    c, k = X.shape[1], X.shape[2]
+    n = W2.shape[0]
+    kept_cols = int(np.asarray(keep2).sum()) * k * k
+    gram_flops = 2.0 * (subsample * n) * c * (c + 1)
+    recon_flops = 2.0 * N * kept_cols * (kept_cols + Y.shape[1])
+    f32_peak = 197e12 / 4
+    phases["gram_tflops"] = gram_flops / (phases["gram_ms"] / 1e3) / 1e12
+    phases["reconstruct_tflops"] = (recon_flops /
+                                    (phases["reconstruct_ms"] / 1e3) / 1e12)
+    phases["mxu_phase_util_f32"] = ((gram_flops + recon_flops) /
+                                    ((phases["gram_ms"] +
+                                      phases["reconstruct_ms"]) / 1e3) /
+                                    f32_peak)
+
     # telemetry OUTSIDE the timed region
     W = np.asarray(W)
     b = np.asarray(b)
@@ -110,7 +127,9 @@ def device_solve(X, W2, Y, rank, *, subsample=400, seed=0, repeats=5):
              "min_ms": float(totals.min() * 1e3),
              "max_ms": float(totals.max() * 1e3),
              "n_runs": int(repeats),
-             "phases": {k: round(v, 1) for k, v in phases.items()}}
+             "phases": {k: round(v, 4 if "util" in k else
+                                 2 if "tflops" in k else 1)
+                        for k, v in phases.items()}}
     return stats, int(keep.sum()), err, np.asarray(keep)
 
 

@@ -301,7 +301,8 @@ def cmd_finetune(args):
 
     graph, params = _load_model(args)
     cfg = FinetuneConfig(base_lr=args.lr, batch_size=args.batch,
-                         stepsize=args.lr_step or 200_000, gamma=args.gamma)
+                         stepsize=args.lr_step or 200_000, gamma=args.gamma,
+                         clip_gradients=args.clip_gradients)
     import jax
     # largest device count that divides the batch (DP shards the batch dim)
     n_dev = len(jax.devices())
@@ -419,6 +420,10 @@ def main(argv=None):
     p.add_argument("--lr-step", type=int, default=None,
                    help="step-decay interval (solver.prototxt stepsize)")
     p.add_argument("--gamma", type=float, default=0.1)
+    p.add_argument("--clip-gradients", type=float, default=0.0,
+                   help="SolverParameter.clip_gradients: rescale updates "
+                        "whose global L2 norm exceeds this (0 = off); "
+                        "needed when finetuning 3C-decomposed nets")
     p.add_argument("--steps", type=int, default=1000)
     p.set_defaults(fn=cmd_finetune)
 

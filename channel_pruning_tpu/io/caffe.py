@@ -415,6 +415,8 @@ def export_solver(cfg, net_prototxt: str, snapshot_prefix: str = "snapshots/ft",
         "snapshot_prefix": snapshot_prefix,
         "solver_mode": "GPU",
     }
+    if getattr(cfg, "clip_gradients", 0.0):
+        msg["clip_gradients"] = cfg.clip_gradients
     if cfg.nesterov:
         msg["type"] = "Nesterov"
     return pt.dump(msg) + "\n"

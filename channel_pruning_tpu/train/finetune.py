@@ -49,6 +49,10 @@ def make_optimizer(cfg: FinetuneConfig) -> optax.GradientTransformation:
     tx = [optax.trace(decay=cfg.momentum, nesterov=cfg.nesterov)]
     if cfg.weight_decay:
         tx.insert(0, optax.add_decayed_weights(cfg.weight_decay))
+    if getattr(cfg, "clip_gradients", 0.0):
+        # SolverParameter.clip_gradients semantics: rescale the whole update
+        # when the global L2 norm exceeds the threshold
+        tx.insert(0, optax.clip_by_global_norm(cfg.clip_gradients))
     tx.append(optax.scale_by_schedule(lambda s: -lr(s)))
     return optax.chain(*tx)
 
@@ -64,6 +68,12 @@ def build_train_step(graph: Graph, cfg: FinetuneConfig,
     logits_t = logits_tensor_of(graph)
     input_name = graph.inputs[0].name
     opt = make_optimizer(cfg)
+    # Caffe BatchNorm blobs (mean/var/factor) carry lr_mult 0 — statistics are
+    # frozen during finetune; the learnable affine lives in the Scale layer
+    # (reference addbn chain, lib/net.py:1041-1043). Without this mask, SGD
+    # walks the stored statistics and finetuning a freshly-addbn'd 3C net
+    # diverges at moderate lr.
+    frozen_layers = frozenset(l.name for l in graph.by_type(LT.BN))
 
     def loss_fn(params, x, y, rng):
         _, caps = run_graph(graph, params, {input_name: x},
@@ -78,6 +88,10 @@ def build_train_step(graph: Graph, cfg: FinetuneConfig,
         (loss, (acc1, acc5)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state_params, x, y, rng)
         updates, new_opt = opt.update(grads, state_opt, state_params)
+        if frozen_layers:
+            updates = {ln: (jax.tree_util.tree_map(jnp.zeros_like, blobs)
+                            if ln in frozen_layers else blobs)
+                       for ln, blobs in updates.items()}
         new_params = optax.apply_updates(state_params, updates)
         return new_params, new_opt, state_step + 1, {
             "loss": loss, "top1": acc1, "top5": acc5}

@@ -124,6 +124,12 @@ class FinetuneConfig:
     gamma: float = 0.1
     snapshot_every: int = 20_000
     snapshot_dir: str = "snapshots"
+    # Caffe SolverParameter.clip_gradients: scale the update when the global
+    # L2 gradient norm exceeds this (0 = off, the solver.prototxt default).
+    # Finetuning 3C-decomposed V/H/P chains needs it: a single outlier batch
+    # spikes the gradient through the factored 1x1 stacks and SGD+momentum
+    # then diverges to NaN within ~10 steps at any useful lr.
+    clip_gradients: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -326,3 +326,32 @@ def test_dp_finetune_full_schedule_parity(mesh, tmp_path):
     assert a_solo > 0.8, a_solo
     # parity: gradient psum reduction order is the only difference
     assert abs(a_solo - a_mesh) <= 0.03, (a_solo, a_mesh)
+
+
+def test_clip_gradients_bounds_update():
+    """SolverParameter.clip_gradients semantics (io/caffe.export_solver): the
+    whole update rescales when the global grad L2 norm exceeds the threshold —
+    without it, one outlier batch NaNs a 3C-decomposed finetune."""
+    import jax.numpy as jnp
+    import optax
+
+    from channel_pruning_tpu.train.finetune import make_optimizer
+    from channel_pruning_tpu.utils.config import FinetuneConfig
+
+    params = {"conv": {"W": jnp.zeros((4, 4))}}
+    huge = {"conv": {"W": jnp.full((4, 4), 1e6)}}
+    cfg = FinetuneConfig(base_lr=1.0, momentum=0.0, clip_gradients=1.0)
+    opt = make_optimizer(cfg)
+    upd, _ = opt.update(huge, opt.init(params), params)
+    gnorm = float(jnp.linalg.norm(upd["conv"]["W"]))
+    assert gnorm <= 1.0 + 1e-5, gnorm
+
+    # off by default: the update is the (scaled) raw gradient
+    cfg0 = FinetuneConfig(base_lr=1.0, momentum=0.0)
+    opt0 = make_optimizer(cfg0)
+    upd0, _ = opt0.update(huge, opt0.init(params), params)
+    assert float(jnp.linalg.norm(upd0["conv"]["W"])) > 1e5
+
+    # and it renders into the exported solver.prototxt
+    from channel_pruning_tpu.io.caffe import export_solver
+    assert "clip_gradients: 1" in export_solver(cfg, "net.prototxt")

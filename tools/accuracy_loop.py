@@ -76,6 +76,14 @@ def main():
     ap.add_argument("--recover-lr", default="1e-4")
     ap.add_argument("--recover-lr-step", type=int, default=0,
                     help="step-decay the recovery lr (solver.prototxt policy)")
+    ap.add_argument("--recover-clip", default="35",
+                    help="clip_gradients for the recovery finetune (outlier "
+                         "batches NaN the factored 3C chains without it)")
+    ap.add_argument("--addbn", action="store_true",
+                    help="insert measured BN before the recovery finetune of "
+                         "3C modes (the reference's addbn step, "
+                         "train.py:106-117 — stabilises finetuning the "
+                         "decomposed V/H/P chains)")
     ap.add_argument("--cal-batches", type=int, default=50)
     ap.add_argument("--train-limit", type=int, default=0,
                     help="train on a class-balanced subset of N images")
@@ -138,10 +146,18 @@ def main():
                  max(flops.total_flops(res.graph, include_fc=False), 1))
 
         pruned = ev(pruned_pt, pruned_w, val_dir)
+        if is_3c and args.addbn:
+            cli.main(["addbn", "--prototxt", str(pruned_pt), "--weights",
+                      str(pruned_w), "--data-dir", str(train_dir),
+                      "--cal-batches", str(args.cal_batches),
+                      "--cal-batch", "10", "--work-dir", str(wd)])
+            pruned_pt = wd / f"bn_{res.graph.name}.prototxt"
+            pruned_w = wd / f"bn_{res.graph.name}.caffemodel"
         ft_args = ["finetune", "--prototxt", str(pruned_pt), "--weights",
                    str(pruned_w), "--data-dir", str(train_dir), "--batch",
                    "64", "--lr", args.recover_lr,
                    "--steps", str(args.recover_steps),
+                   "--clip-gradients", args.recover_clip,
                    "--work-dir", str(wd)]
         if args.recover_lr_step:
             ft_args += ["--lr-step", str(args.recover_lr_step)]
