@@ -80,6 +80,30 @@ def device_solve(X, W2, Y, rank, *, subsample=400, seed=0, repeats=5):
         totals.append(time.perf_counter() - t0)
     totals = np.asarray(totals)
 
+    # fused-search variant: the whole alpha search is ONE device program
+    # (ops/lasso._fused_search) — measures how much of the default path is
+    # host<->device round trips rather than compute
+    def run_fused():
+        Z = lasso.build_channel_response(Xd[rows_d], W2d)
+        gram = lasso.lasso_gram(Z, Yd[rows_d].reshape(-1))
+        keep, alpha, support = lasso.fused_search_alpha(gram, rank, 0.1)
+        Xk = Xd[:, keep].reshape(N, -1)
+        W, b = lstsq.fit_linear(Xk, Yd)
+        fence(W)
+        return keep
+
+    fused_keep = run_fused()                # warmup (compile)
+    fused_totals = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fused_keep = run_fused()
+        fused_totals.append(time.perf_counter() - t0)
+    fused = {"median_ms": float(np.median(fused_totals) * 1e3),
+             "min_ms": float(np.min(fused_totals) * 1e3),
+             "kept": int(np.asarray(fused_keep).sum()),
+             "selection_match": bool((np.asarray(fused_keep) ==
+                                      np.asarray(keep)).all())}
+
     # phase breakdown (one extra pass; per-phase fences add one tunnel RTT
     # each, so the phase sum can exceed the unfenced end-to-end median)
     phases = {}
@@ -128,6 +152,8 @@ def device_solve(X, W2, Y, rank, *, subsample=400, seed=0, repeats=5):
              "min_ms": float(totals.min() * 1e3),
              "max_ms": float(totals.max() * 1e3),
              "n_runs": int(repeats),
+             "fused_search": {k: (round(v, 2) if isinstance(v, float) else v)
+                              for k, v in fused.items()},
              "phases": {k: round(v, 4 if "util" in k else
                                  2 if "tflops" in k or "gflops" in k else 1)
                         for k, v in phases.items()}}

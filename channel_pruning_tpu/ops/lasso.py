@@ -276,11 +276,210 @@ def search_alpha(gram: LassoGram, rank: int, rank_tol: float,
     return mask, float(alphas[best]), int(supports[best])
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "rank", "rank_tol", "alpha0", "grid_size", "max_rounds", "n_sweeps",
+    "prefer"))
+def _fused_search(G: jax.Array, b: jax.Array, N: jax.Array, rank: int,
+                  rank_tol: float, alpha0: float, grid_size: int,
+                  max_rounds: int, n_sweeps: int, prefer: str):
+    """The whole alpha search as ONE device program (lax.while_loop over
+    rounds), mirroring `search_alpha`'s probe sequence: geometric bracket →
+    linear refinement → band pick → exact-count trim/top-up. The host-stepped
+    path costs ~2-4 grid dispatches plus per-round support fetches — ~10-20
+    tunnel round trips per layer; this costs exactly one.
+
+    Differences vs the host path, by design: grid endpoints are computed in
+    f32 on device (host uses f64 — borderline supports can differ by one
+    probe), and the refinement runs through all `max_rounds` iterations'
+    worth of state updates with `done` masking instead of early exit.
+    Parity is pinned by tests (same masks on a battery of problems; the
+    exact-count path returns exactly `rank`)."""
+    c = G.shape[0]
+    dt = G.dtype
+    lbound = jnp.int32(rank)
+    rbound_f = rank + (rank_tol if rank_tol >= 1 else rank_tol * rank)
+    rbound = jnp.float32(rbound_f)
+    top = prefer == "top"
+    diag = jnp.diagonal(G)
+
+    def grid_supports(alphas):
+        betas = cd_solve_grid(G, b, (alphas * N).astype(dt),
+                              n_sweeps=n_sweeps)
+        return betas, support_sizes(betas).astype(jnp.int32)
+
+    alphas0 = jnp.float32(alpha0) * (2.0 ** jnp.arange(-2, grid_size - 2,
+                                                       dtype=jnp.float32))
+    BIG = jnp.int32(10 ** 9)
+    F = jnp.bool_(False)
+    state = dict(
+        alphas=alphas0,
+        lo=jnp.float32(0.0), hi=jnp.float32(0.0), hi_found=F,
+        cand_support=jnp.int32(-1), cand_mask=jnp.zeros((c,), bool),
+        cand_alpha=jnp.float32(0.0), cand_found=F,
+        over_support=BIG, over_absb=jnp.zeros((c,), dt),
+        over_alpha=jnp.float32(0.0), over_found=F,
+        last_betas=jnp.zeros((grid_size, c), dt),
+        last_supports=jnp.zeros((grid_size,), jnp.int32),
+        refines=jnp.int32(0), round_i=jnp.int32(0), done=F)
+
+    def body(s):
+        betas, supports = grid_supports(s["alphas"])
+        sup_f = supports.astype(jnp.float32)
+        in_band = (supports >= lbound) & (sup_f <= rbound)
+        any_band = jnp.any(in_band)
+
+        # --- best_over update (bottom path): smallest support >= rank
+        ge = supports >= lbound
+        sup_ge = jnp.where(ge, supports, BIG)
+        gi = jnp.argmin(sup_ge)
+        over_better = ((not top) & jnp.any(ge)
+                       & (sup_ge[gi] < s["over_support"]))
+        over_support = jnp.where(over_better, supports[gi], s["over_support"])
+        over_absb = jnp.where(over_better, jnp.abs(betas[gi]), s["over_absb"])
+        over_alpha = jnp.where(over_better, s["alphas"][gi], s["over_alpha"])
+
+        # --- in-band candidate pick: max (top) / min (bottom) support
+        sup_band = jnp.where(in_band, supports, -1 if top else BIG)
+        bi = jnp.argmax(sup_band) if top else jnp.argmin(sup_band)
+        cand_better = any_band & (
+            (~s["cand_found"]) |
+            ((supports[bi] > s["cand_support"]) if top
+             else (supports[bi] < s["cand_support"])))
+        cand_support = jnp.where(cand_better, supports[bi], s["cand_support"])
+        cand_mask = jnp.where(cand_better, support_mask(betas[bi]),
+                              s["cand_mask"])
+        cand_alpha = jnp.where(cand_better, s["alphas"][bi], s["cand_alpha"])
+        cand_found = s["cand_found"] | cand_better
+
+        # --- band-edge termination / refinement-budget termination
+        edge = jnp.where(jnp.bool_(top),
+                         cand_support >= jnp.int32(rbound_f),
+                         cand_support <= lbound) & cand_found
+        refines = s["refines"] + jnp.where(any_band & ~edge, 1, 0)
+        budget_done = refines > 2
+
+        # --- refinement grid between best in-band alpha and the nearest
+        # out-of-band alpha on the preferred side (support ~decreasing in a)
+        if top:
+            over_i = sup_f > rbound               # support too big -> a too small
+            a_hi_r = cand_alpha
+            a_lo_r = jnp.where(jnp.any(over_i),
+                               s["alphas"][jnp.argmin(jnp.where(
+                                   over_i, supports, BIG))],
+                               jnp.maximum(s["lo"], a_hi_r / 2.0))
+        else:
+            under_i = supports < lbound           # support too small -> a too big
+            a_lo_r = cand_alpha
+            a_hi_r = jnp.where(jnp.any(under_i),
+                               s["alphas"][jnp.argmax(jnp.where(
+                                   under_i, supports, jnp.int32(-1)))],
+                               jnp.where(s["hi_found"], s["hi"], a_lo_r * 2.0))
+        degenerate = (a_hi_r - a_lo_r) <= 1e-12 * jnp.maximum(a_hi_r, 1e-30)
+        t = jnp.arange(1, grid_size + 1, dtype=jnp.float32) / (grid_size + 1)
+        refine_grid = a_lo_r + (a_hi_r - a_lo_r) * t
+
+        # --- bracket update (no in-band sample this round)
+        over_b = sup_f > rbound
+        under_b = supports < lbound
+        lo_new = jnp.where(jnp.any(over_b),
+                           s["alphas"][jnp.argmin(jnp.where(over_b, supports,
+                                                            BIG))], s["lo"])
+        hi_new = jnp.where(jnp.any(under_b),
+                           s["alphas"][jnp.argmax(jnp.where(
+                               under_b, supports, jnp.int32(-1)))],
+                           jnp.where(s["hi_found"], s["hi"], jnp.float32(0.0)))
+        hi_found = s["hi_found"] | jnp.any(under_b)
+        grow_grid = s["alphas"] * (2.0 ** grid_size)
+        lo_brk = jnp.where(jnp.any(over_b), lo_new,
+                           hi_new / (2.0 ** grid_size))
+        bracket_grid = lo_brk + (hi_new - lo_brk) * t
+        no_band_grid = jnp.where(hi_found, bracket_grid, grow_grid)
+
+        next_alphas = jnp.where(any_band, refine_grid, no_band_grid)
+        done = s["done"] | edge | (any_band & (budget_done | degenerate))
+        keep_old = s["done"]
+
+        def sel(new, old):
+            return jnp.where(keep_old, old, new)
+
+        return dict(
+            alphas=sel(next_alphas, s["alphas"]),
+            lo=sel(jnp.where(any_band, s["lo"], lo_new), s["lo"]),
+            hi=sel(hi_new, s["hi"]),
+            hi_found=sel(hi_found, s["hi_found"]),
+            cand_support=sel(cand_support, s["cand_support"]),
+            cand_mask=sel(cand_mask, s["cand_mask"]),
+            cand_alpha=sel(cand_alpha, s["cand_alpha"]),
+            cand_found=sel(cand_found, s["cand_found"]),
+            over_support=sel(over_support, s["over_support"]),
+            over_absb=sel(over_absb, s["over_absb"]),
+            over_alpha=sel(over_alpha, s["over_alpha"]),
+            over_found=sel(over_better | s["over_found"], s["over_found"]),
+            last_betas=sel(betas, s["last_betas"]),
+            last_supports=sel(supports, s["last_supports"]),
+            refines=sel(refines, s["refines"]),
+            round_i=s["round_i"] + 1,
+            done=done)
+
+    def cont(s):
+        return (s["round_i"] < max_rounds) & ~s["done"]
+
+    s = jax.lax.while_loop(cont, body, state)
+
+    # --- final selection (device-side mirror of search_alpha's epilogue)
+    order_pos = jnp.argsort(jnp.argsort(-s["over_absb"]))  # rank of each coord
+    trim_mask = order_pos < rank
+    # top-up path: nearest-support mask from the last round + highest-energy
+    # excluded channels until exactly `rank`
+    dist = jnp.abs(s["last_supports"] - lbound)          # bottom top-up
+    ni = jnp.argmin(dist)
+    near_mask = support_mask(s["last_betas"][ni])
+    dist2 = jnp.minimum(dist, jnp.abs(s["last_supports"].astype(jnp.float32)
+                                      - rbound))          # top fallback
+    ni2 = jnp.argmin(dist2)
+    near_mask2 = support_mask(s["last_betas"][ni2])
+    short = rank - jnp.sum(near_mask).astype(jnp.int32)
+    energy = jnp.where(near_mask, -jnp.inf, diag.astype(jnp.float32))
+    epos = jnp.argsort(jnp.argsort(-energy))
+    topped = near_mask | (epos < short)
+
+    if prefer == "top":
+        mask = jnp.where(s["cand_found"], s["cand_mask"], near_mask2)
+        alpha = jnp.where(s["cand_found"], s["cand_alpha"],
+                          s["alphas"][ni2])
+    else:
+        exact = s["cand_found"] & (s["cand_support"] == lbound)
+        mask = jnp.where(
+            exact, s["cand_mask"],
+            jnp.where(s["over_found"], trim_mask, topped))
+        alpha = jnp.where(
+            exact, s["cand_alpha"],
+            jnp.where(s["over_found"], s["over_alpha"], s["alphas"][ni]))
+    return mask, alpha, jnp.sum(mask).astype(jnp.int32)
+
+
+def fused_search_alpha(gram: LassoGram, rank: int, rank_tol: float,
+                       alpha0: float = 1e-3, grid_size: int = 16,
+                       max_rounds: int = 8, n_sweeps: int = 200,
+                       prefer: str = "top"
+                       ) -> tuple[np.ndarray, float, int]:
+    """`search_alpha` semantics in ONE device dispatch (see _fused_search).
+    Same signature/return contract; opt-in via SolveConfig.fused_search."""
+    c = int(gram.G.shape[0])
+    if rank >= c:
+        return np.ones(c, bool), 0.0, c
+    heartbeat()
+    mask, alpha, support = _fused_search(
+        gram.G, gram.b, jnp.float32(gram.n_samples), rank, float(rank_tol),
+        float(alpha0), grid_size, max_rounds, n_sweeps, prefer)
+    return np.asarray(mask), float(alpha), int(support)
+
+
 def select_channels(X: np.ndarray, W2: np.ndarray, Y: np.ndarray, rank: int,
                     *, alpha0: float = 1e-3, rank_tol: float = 0.1,
                     subsample: int = 400, seed: int = 0, grid_size: int = 16,
                     max_rounds: int = 8, n_sweeps: int = 200,
-                    mesh=None, prefer: str = "top",
+                    mesh=None, prefer: str = "top", fused: bool = False,
                     ) -> tuple[np.ndarray, float, int]:
     """End-to-end channel selection for one layer.
 
@@ -302,9 +501,10 @@ def select_channels(X: np.ndarray, W2: np.ndarray, Y: np.ndarray, rank: int,
         gram = sharded_lasso_gram(Z, Ys.reshape(-1), mesh)
     else:
         gram = lasso_gram(Z, Ys.reshape(-1))
-    return search_alpha(gram, rank, rank_tol, alpha0=alpha0,
-                        grid_size=grid_size, max_rounds=max_rounds,
-                        n_sweeps=n_sweeps, prefer=prefer)
+    search = fused_search_alpha if fused else search_alpha
+    return search(gram, rank, rank_tol, alpha0=alpha0,
+                  grid_size=grid_size, max_rounds=max_rounds,
+                  n_sweeps=n_sweeps, prefer=prefer)
 
 
 # ---------------------------------------------------------------------------

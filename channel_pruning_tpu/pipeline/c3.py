@@ -402,7 +402,8 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             subsample=cfg.lasso.subsample_rows, n_sweeps=cfg.lasso.n_sweeps,
             grid_size=cfg.lasso.grid_size, max_rounds=cfg.lasso.max_rounds,
             ridge=cfg.solve.ls_ridge, seed=cfg.sample.seed, mesh=mesh,
-            group=cfg.dic.grplasso, prefer=cfg.solve.band)
+            group=cfg.dic.grplasso, prefer=cfg.solve.band,
+            fused=cfg.solve.fused_search)
         dt = timer.toc()
 
         # running graph: zero-scattered reconstruction (static shapes)
@@ -460,7 +461,7 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                 n_sweeps=cfg.lasso.n_sweeps, grid_size=cfg.lasso.grid_size,
                 max_rounds=cfg.lasso.max_rounds, ridge=cfg.solve.ls_ridge,
                 seed=cfg.sample.seed, group=True, mesh=mesh,
-                prefer=cfg.solve.band)
+                prefer=cfg.solve.band)  # group path has no fused variant
             dt = timer.toc()
             # running graph: zero-scatter back into the flat FC weight
             Wfull = np.zeros_like(Wr)
@@ -739,7 +740,7 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                 n_sweeps=cfg.lasso.n_sweeps, grid_size=cfg.lasso.grid_size,
                 max_rounds=cfg.lasso.max_rounds, ridge=cfg.solve.ls_ridge,
                 seed=cfg.sample.seed, mesh=mesh, group=cfg.dic.grplasso,
-                prefer=cfg.solve.band)
+                prefer=cfg.solve.band, fused=cfg.solve.fused_search)
             t_prune = timer.toc()
             p_run[convnext]["W"] = _scatter_inputs(res.W, res.keep)
             p_run[convnext]["b"] = res.b

@@ -85,7 +85,8 @@ def select_and_reconstruct(X: np.ndarray, W2: np.ndarray, Y: np.ndarray,
                            max_rounds: int = 8, ridge: float = 0.0,
                            seed: int = 0, group: bool = False,
                            alter_iters: int = 0, mesh=None,
-                           prefer: str = "top") -> PruneResult:
+                           prefer: str = "top",
+                           fused: bool = False) -> PruneResult:
     """One layer's LASSO selection + lstsq reconstruction.
 
     X: (N, c, kh, kw) consumer input patches (current net),
@@ -131,7 +132,7 @@ def select_and_reconstruct(X: np.ndarray, W2: np.ndarray, Y: np.ndarray,
                 X, W2, Y, rank, alpha0=alpha0, rank_tol=rank_tol,
                 subsample=subsample, seed=seed, grid_size=grid_size,
                 max_rounds=max_rounds, n_sweeps=n_sweeps, mesh=mesh,
-                prefer=prefer)
+                prefer=prefer, fused=fused)
         if keep.sum() == 0:
             # degenerate layer (LASSO kills everything at every probed
             # alpha): fall back to magnitude selection so the graph stays

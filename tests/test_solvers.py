@@ -486,3 +486,39 @@ def test_selection_iou_vs_sklearn_at_c256(rng):
     _, sk_kept, _, sk_mask = sklearn_solve(X, W2, Y, rank)
     iou = float((keep & sk_mask).sum() / max((keep | sk_mask).sum(), 1))
     assert iou >= 0.95, (iou, int(keep.sum()), sk_kept)
+
+
+def test_fused_search_matches_host_path():
+    """ops/lasso._fused_search (whole alpha search as ONE lax.while_loop
+    program) must reproduce the host-stepped search_alpha: same support
+    count, same band semantics, IoU >= 0.97 on structured problems, and the
+    exact-count "bottom" path must return exactly `rank`."""
+    import jax.numpy as jnp
+
+    from channel_pruning_tpu.ops import lasso
+
+    for trial in range(4):
+        rng = np.random.default_rng(trial)
+        c = [32, 64, 128, 96][trial]
+        N = 1600
+        base = rng.normal(0, 1, (N, c // 4)).astype(np.float32)
+        mix = rng.normal(0, 0.5, (c // 4, c)).astype(np.float32)
+        Z = base @ mix + 0.3 * rng.normal(0, 1, (N, c)).astype(np.float32)
+        w = (rng.normal(0, 1, c) * (rng.uniform(size=c) < 0.6)).astype(np.float32)
+        y = Z @ w + 0.01 * rng.normal(0, 1, N).astype(np.float32)
+        gram = lasso.lasso_gram(jnp.asarray(Z), jnp.asarray(y))
+        rank = max(4, int(c / 2))
+        for prefer in ("top", "bottom"):
+            m1, _, s1 = lasso.search_alpha(gram, rank, 0.1, prefer=prefer)
+            m2, _, s2 = lasso.fused_search_alpha(gram, rank, 0.1,
+                                                 prefer=prefer)
+            assert s1 == s2, (trial, prefer, s1, s2)
+            iou = (m1 & m2).sum() / max((m1 | m2).sum(), 1)
+            assert iou >= 0.97, (trial, prefer, iou)
+            if prefer == "bottom":
+                assert s2 == rank, (trial, s2, rank)
+
+    # trivial full-keep contract matches too
+    gram_small = lasso.lasso_gram(jnp.ones((8, 4)), jnp.ones((8,)))
+    m, a, s = lasso.fused_search_alpha(gram_small, 4, 0.1)
+    assert s == 4 and m.all() and a == 0.0
