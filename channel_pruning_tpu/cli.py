@@ -162,8 +162,15 @@ def cmd_prune(args):
         from channel_pruning_tpu.utils.runtime import retry_on_worker_crash
 
         share = resnet_share_key(graph) if graph.sums else None
+        # capture set first, so only the weights the truncated freeze
+        # program reads cross the link (fitfc off skips the FC stack:
+        # ~470 MB of VGG-16's 528 MB params never upload)
+        from channel_pruning_tpu.sampling.sampler import (freeze_tensor_set,
+                                                          params_for_tensors)
+        tensors = freeze_tensor_set(graph, include_fc=cfg.dic.fitfc)
+        fparams = params_for_tensors(graph, params, tensors)
         cache = retry_on_worker_crash(lambda: freeze(
-            graph, to_device_params(params), inputs,
+            graph, to_device_params(fparams), inputs, tensors=tensors,
             n_points=cfg.sample.n_points_per_layer,
             seed=cfg.sample.seed, share_key=share, labels=labels,
             chunk_batches=max(cfg.sample.freeze_device_batch

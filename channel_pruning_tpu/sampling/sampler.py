@@ -443,10 +443,34 @@ def resnet_share_key(graph: Graph) -> Callable[[str], str]:
     return lambda t: groups.get(t, t)
 
 
+def freeze_tensor_set(graph: Graph, include_fc: bool = True) -> tuple[str, ...]:
+    """The default capture set: every conv top; Eltwise tops+bottoms for
+    residual nets (targets + shortcut replay points, lib/net.py:1641-1683);
+    FC tops only when the fitfc path needs them (lib/cfgs.py:73) — skipping
+    them lets the freeze run the `ancestors_subgraph` WITHOUT the FC stack,
+    so fc6/7/8 weights (~470 MB of VGG-16's 528 MB) never cross the link."""
+    names = [graph.layer(c).tops[0] for c in graph.convs]
+    for e in graph.by_type(LT.ELTWISE):
+        names.append(e.tops[0])
+        names.extend(e.bottoms)
+    if include_fc:
+        names.extend(graph.layer(f).tops[0] for f in graph.fcs)
+    seen: set = set()
+    return tuple(t for t in names if not (t in seen or seen.add(t)))
+
+
+def params_for_tensors(graph: Graph, params, tensors: Sequence[str]):
+    """Filter a params pytree to the layers of `ancestors_subgraph(tensors)`
+    — upload only what the truncated freeze program will read."""
+    needed = {l.name for l in graph.ancestors_subgraph(tuple(tensors)).layers}
+    return {k: v for k, v in params.items() if k in needed}
+
+
 def freeze(graph: Graph, params, inputs: np.ndarray, *, tensors: Sequence[str] | None = None,
            n_points: int = 10, seed: int = 0, chunk_batches: int = 25,
            share_key: Callable[[str], str] | None = None,
-           labels: np.ndarray | None = None, mesh=None) -> FrozenCache:
+           labels: np.ndarray | None = None, mesh=None,
+           include_fc: bool = True) -> FrozenCache:
     """Sample ground-truth responses of every conv top (default) on the given
     calibration batches; for residual nets, Eltwise tops and bottoms are
     included too (targets + shortcut replay points for the residual
@@ -457,15 +481,7 @@ def freeze(graph: Graph, params, inputs: np.ndarray, *, tensors: Sequence[str] |
     chunk_batches = clamp_chunk_for_hbm(graph, int(inputs.shape[1]),
                                         chunk_batches)
     if tensors is None:
-        names = [graph.layer(c).tops[0] for c in graph.convs]
-        for e in graph.by_type(LT.ELTWISE):
-            names.append(e.tops[0])
-            names.extend(e.bottoms)
-        # FC tops are stored densely (one row per image) — cheap, and they
-        # serve as ground truth for the fitfc path (lib/net.py:409-412)
-        names.extend(graph.layer(f).tops[0] for f in graph.fcs)
-        seen = set()
-        tensors = tuple(t for t in names if not (t in seen or seen.add(t)))
+        tensors = freeze_tensor_set(graph, include_fc=include_fc)
     shapes = shapes_of(graph, batch=inputs.shape[1])
     plan = make_point_plan(shapes, tensors, inputs.shape[0], n_points, seed,
                            share_key=share_key)
