@@ -80,17 +80,16 @@ def device_solve(X, W2, Y, rank, *, subsample=400, seed=0, repeats=5):
         totals.append(time.perf_counter() - t0)
     totals = np.asarray(totals)
 
-    # fused-search variant: the whole alpha search is ONE device program
-    # (ops/lasso._fused_search) — measures how much of the default path is
-    # host<->device round trips rather than compute
+    # fused variant: the ENTIRE layer solve (rMSE, Z, Gram, alpha search,
+    # full-N masked reconstruction) as ONE device program
+    # (pipeline/prune._fused_layer_solve) — measures how much of the default
+    # path is host<->device round trips rather than compute
     def run_fused():
-        Z = lasso.build_channel_response(Xd[rows_d], W2d)
-        gram = lasso.lasso_gram(Z, Yd[rows_d].reshape(-1))
-        keep, alpha, support = lasso.fused_search_alpha(gram, rank, 0.1)
-        Xk = Xd[:, keep].reshape(N, -1)
-        W, b = lstsq.fit_linear(Xk, Yd)
-        fence(W)
-        return keep
+        from channel_pruning_tpu.pipeline.prune import _fused_layer_solve
+        out = _fused_layer_solve(Xd, W2d, Yd, rows_d, rank, 0.1, 1e-3,
+                                 16, 8, 200, "top", 0.0)
+        fence(out[4])
+        return np.asarray(out[0])
 
     fused_keep = run_fused()                # warmup (compile)
     fused_totals = []

@@ -43,6 +43,54 @@ def _device_rel_error(Xd, W, b, Yd):
     den = jnp.mean(Yd ** 2)
     return jnp.sqrt(num) / jnp.sqrt(den + 1e-30)
 
+@functools.partial(jax.jit, static_argnames=(
+    "rank", "rank_tol", "alpha0", "grid_size", "max_rounds", "n_sweeps",
+    "prefer", "ridge"))
+@f32_matmuls
+def _fused_layer_solve(Xd, W2d, Yd, rows, rank, rank_tol, alpha0,
+                       grid_size, max_rounds, n_sweeps, prefer, ridge):
+    """The ENTIRE per-layer solve as one device program: rMSE-before,
+    Z-build on the row subsample, Gram, the fused alpha search
+    (ops/lasso._fused_search, itself a lax.while_loop), masked full-width
+    least-squares reconstruction on all N rows, and rMSE-after. One
+    dispatch, one host fetch — the host-stepped path costs ~15-25.
+
+    The reconstruction masks excluded channels' columns to zero instead of
+    gathering survivors: zeroed columns produce exactly-zero rows in the
+    normal equations and exactly-zero coefficients under the jitter ridge
+    (the same contract the bucketed gather path relies on for its padding),
+    and the trace-scaled jitter sees only surviving channels' energy either
+    way — so W matches the gather path up to fp reduction order."""
+    N, c, kh, kw = Xd.shape
+    n = W2d.shape[0]
+    rmse_before = _device_rel_error(Xd, W2d, jnp.zeros((), jnp.float32), Yd)
+    Xs, Ys = Xd[rows], Yd[rows]
+    Z = lasso.build_channel_response(Xs, W2d)
+    G = Z.T @ Z
+    G = 0.5 * (G + G.T)
+    bg = Z.T @ Ys.reshape(-1)
+    mask, alpha, support = lasso._fused_search(
+        G, bg, jnp.float32(Z.shape[0]), rank, rank_tol, alpha0,
+        grid_size, max_rounds, n_sweeps, prefer)
+    colmask = jnp.repeat(mask, kh * kw).astype(Xd.dtype)
+    Xm = Xd.reshape(N, c * kh * kw) * colmask
+    xm = jnp.mean(Xm, axis=0)
+    ym = jnp.mean(Yd, axis=0)
+    Xc = Xm - xm
+    G2 = Xc.T @ Xc
+    G2 = 0.5 * (G2 + G2.T)
+    scale = jnp.maximum(jnp.trace(G2), 1e-30)
+    G2 = G2 + (ridge + 1e-6 * scale) * jnp.eye(G2.shape[0], dtype=G2.dtype)
+    C = Xc.T @ (Yd - ym)
+    Wt = jax.scipy.linalg.cho_solve(
+        (jax.scipy.linalg.cholesky(G2, lower=True), True), C)
+    W = Wt.T                                   # (n, c*kh*kw), exact 0 off-mask
+    b = ym - W @ xm
+    Wfull = W.reshape(n, c, kh, kw)
+    rmse_after = _device_rel_error(Xd, Wfull, b, Yd)
+    return mask, alpha, support, Wfull, b, rmse_before, rmse_after
+
+
 _CHANNEL_PRESERVING = (LT.RELU, LT.POOL, LT.DROPOUT, LT.BN, LT.SCALE)
 
 
@@ -106,6 +154,27 @@ def select_and_reconstruct(X: np.ndarray, W2: np.ndarray, Y: np.ndarray,
         if not isinstance(X, jax.Array) else jnp.asarray(X, jnp.float32)
     Yd = chunked_device_put(np.asarray(Y, np.float32)) \
         if not isinstance(Y, jax.Array) else jnp.asarray(Y, jnp.float32)
+
+    if (fused and not group and not alter_iters and mesh is None
+            and rank < c):
+        # whole-layer fused fast path: ONE device program for
+        # rMSE/Z/Gram/search/reconstruction (see _fused_layer_solve)
+        from channel_pruning_tpu.utils.runtime import heartbeat as _hb
+        _hb()
+        n_sub = min(subsample, max(N // 20, 1))
+        rows = np.random.default_rng(seed).integers(0, N, size=n_sub)
+        out = _fused_layer_solve(
+            Xd, jnp.asarray(W2, jnp.float32), Yd, jnp.asarray(rows),
+            rank, float(rank_tol), float(alpha0), grid_size, max_rounds,
+            n_sweeps, prefer, float(ridge))
+        keep = np.asarray(out[0])
+        if keep.sum() > 0:
+            return PruneResult(
+                keep=keep, W=np.asarray(out[3])[:, keep],
+                b=np.asarray(out[4]), alpha=float(out[1]),
+                rmse_before=float(out[5]), rmse_after=float(out[6]))
+        # degenerate (empty selection): fall through to the generic path's
+        # magnitude fallback below
     # rMSE on device — only the scalar crosses the link (pred/Y are ~100 MB
     # each at VGG scale; fetching them per layer would cost seconds on the
     # tunnel just to print telemetry)

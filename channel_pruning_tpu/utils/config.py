@@ -77,10 +77,12 @@ class SampleConfig:
     device_batch: int = 100      # images per device forward step: bounded so
     # two adjacent VGG-scale feature maps (~1.3 GB each at 100 images) plus
     # weights fit HBM with the inline capture-gather (ops/forward.py)
-    freeze_device_batch: int = 250  # images per step for the whole-net fused
+    freeze_device_batch: int = 200  # images per step for the whole-net fused
     # freeze program ONLY: the axon worker reproducibly dies executing that
-    # program at 100 images/step but is stable at 250 (measured both ways);
-    # HBM still fits (2 adjacent conv1-scale maps at 250 imgs = 6.4 GB)
+    # program at 100 images/step but is stable at 200-250 (measured); 250
+    # fit HBM when the program carried the FC stack, but the FC-truncated
+    # freeze (fitfc off) schedules to a ~1 GB higher activation peak and
+    # OOMs 16.05/15.75 GB at 250 — 200 restores ~3 GB of headroom
 
 
 @dataclass(frozen=True)

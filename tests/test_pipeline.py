@@ -220,3 +220,32 @@ def test_solve_checkpoint_resume(setup, tmp_path):
     for k, v in ref.params.items():
         np.testing.assert_allclose(np.asarray(resumed.params[k]["W"]),
                                    np.asarray(v["W"]), rtol=1e-5)
+
+
+def test_fused_layer_solve_matches_default():
+    """pipeline/prune._fused_layer_solve (whole layer solve as ONE device
+    program) must reproduce the host-stepped select_and_reconstruct:
+    identical keep masks, W equal up to fp reduction order, same rMSE."""
+    import numpy as np
+
+    from channel_pruning_tpu.pipeline import prune
+
+    rng = np.random.default_rng(0)
+    N, c, n, k = 4000, 64, 128, 3
+    base = rng.normal(0, 1, (N, c // 4, k, k)).astype(np.float32)
+    mix = rng.normal(0, 0.5, (c // 4, c)).astype(np.float32)
+    X = np.maximum(np.einsum("nqhw,qc->nchw", base, mix)
+                   + 0.3 * rng.normal(0, 1, (N, c, k, k)).astype(np.float32), 0)
+    W2 = ((rng.normal(0, 1, (n, c, k, k))
+           * (rng.uniform(size=(1, c, 1, 1)) < 0.7)).astype(np.float32)
+          / (c * k))
+    Y = np.einsum("nchw,ochw->no", X, W2).astype(np.float32)
+    for prefer in ("top", "bottom"):
+        r1 = prune.select_and_reconstruct(X, W2, Y, 40, prefer=prefer)
+        r2 = prune.select_and_reconstruct(X, W2, Y, 40, prefer=prefer,
+                                          fused=True)
+        assert (r1.keep == r2.keep).all()
+        rel = (np.max(np.abs(r1.W - r2.W))
+               / max(np.max(np.abs(r1.W)), 1e-9))
+        assert rel < 1e-4, rel
+        assert abs(r1.rmse_after - r2.rmse_after) < 1e-3
