@@ -93,10 +93,14 @@ def _calibration(args, graph):
         inputs, labels = calibration_batches(src, args.cal_batches, bs,
                                              image=shape[2])
         return inputs, labels
-    rng = np.random.default_rng(args.seed)
-    inputs = rng.normal(0, 1, (args.cal_batches, bs) + tuple(shape[1:])
-                        ).astype(np.float32)
-    return inputs, None
+    # synthetic calibration lives only as a PRNG spec: batches are generated
+    # straight into HBM (freeze + every rolling replay), so the ~2.9 GB
+    # VGG/500 set never crosses the tunnel and is never written to the cache
+    from channel_pruning_tpu.sampling.inputs import SyntheticInputs
+
+    return SyntheticInputs(n_batches=args.cal_batches, bs=bs,
+                           sample_shape=tuple(shape[1:]),
+                           seed=args.seed), None
 
 
 def _build_config(args):
@@ -164,10 +168,15 @@ def cmd_prune(args):
         share = resnet_share_key(graph) if graph.sums else None
         # capture set first, so only the weights the truncated freeze
         # program reads cross the link (fitfc off skips the FC stack:
-        # ~470 MB of VGG-16's 528 MB params never upload)
+        # ~470 MB of VGG-16's 528 MB params never upload). Small FC stacks
+        # (ResNet's 8 MB fc1000) stay in: capturing them keeps the freeze on
+        # the proven-stable fused whole-graph program for free.
         from channel_pruning_tpu.sampling.sampler import (freeze_tensor_set,
                                                           params_for_tensors)
-        tensors = freeze_tensor_set(graph, include_fc=cfg.dic.fitfc)
+        fc_bytes = sum(int(np.asarray(v).nbytes)
+                       for f in graph.fcs for v in params.get(f, {}).values())
+        tensors = freeze_tensor_set(
+            graph, include_fc=cfg.dic.fitfc or fc_bytes < (64 << 20))
         fparams = params_for_tensors(graph, params, tensors)
         cache = retry_on_worker_crash(lambda: freeze(
             graph, to_device_params(fparams), inputs, tensors=tensors,

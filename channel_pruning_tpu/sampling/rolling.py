@@ -63,19 +63,21 @@ def _shard_group(a: jax.Array, mesh) -> jax.Array:
     return jax.device_put(a, mesh_mod.batch_sharded(mesh))
 
 
-def _make_groups(flat: np.ndarray, step: int, bs: int, mesh) -> list[jax.Array]:
-    """Split the flat (n_images, C, H, W) calibration set into uniform
+def _make_groups(inputs, step: int, bs: int, mesh) -> list[jax.Array]:
+    """Split the (n_batches, bs, C, H, W) calibration source into uniform
     groups of `step` batches, zero-padded to a mesh-divisible image count
-    and device_put with the batch sharding."""
+    and device_put with the batch sharding. A SyntheticInputs source is
+    generated straight into HBM — the frontier's backing set never crosses
+    the tunnel."""
+    from channel_pruning_tpu.sampling.inputs import device_chunk
+
     pad_b = _pad_batches_for(mesh, step, bs)
-    gi = step * bs
     groups = []
-    for i in range(0, flat.shape[0], gi):
-        g = flat[i:i + gi]
+    for lo in range(0, inputs.shape[0], step):
+        g = device_chunk(inputs, lo, lo + step)
         if pad_b:
-            g = np.concatenate(
-                [np.asarray(g),
-                 np.zeros((pad_b * bs,) + g.shape[1:], g.dtype)], axis=0)
+            g = jnp.concatenate(
+                [g, jnp.zeros((pad_b * bs,) + g.shape[1:], g.dtype)], axis=0)
         groups.append(_shard_group(g, mesh))
     return groups
 
@@ -178,9 +180,8 @@ class RollingReplay:
         self.group_batches = step
         self.n_images = n_batches * self.batch_size
         self.mesh = mesh
-        flat = inputs.reshape((-1,) + inputs.shape[2:])
         self.groups: list[jax.Array] = _make_groups(
-            flat, step, self.batch_size, mesh)
+            inputs, step, self.batch_size, mesh)
         self.tensor = graph.inputs[0].name
         self.compute_dtype = compute_dtype
 
@@ -299,11 +300,10 @@ class RollingReplayDAG:
         self.n_groups = n_batches // step
         self.n_images = n_batches * self.batch_size
         self.mesh = mesh
-        flat = inputs.reshape((-1,) + inputs.shape[2:])
         in_name = graph.inputs[0].name
         # state: {tensor: [group arrays]}
         self.state: dict[str, list[jax.Array]] = {
-            in_name: _make_groups(flat, step, self.batch_size, mesh)}
+            in_name: _make_groups(inputs, step, self.batch_size, mesh)}
         self.pos = -1                      # index of last executed layer
         self.last = _last_use(graph)
         self.cd = _dtype_of(compute_dtype)

@@ -39,6 +39,7 @@ from channel_pruning_tpu.graph.ir import Graph, LT, shapes_of
 from channel_pruning_tpu.ops.forward import run_graph
 from channel_pruning_tpu.ops.patches import (
     gather_channels_at_points, gather_patches_at_points)
+from channel_pruning_tpu.sampling.inputs import SyntheticInputs, device_chunk
 from channel_pruning_tpu.utils.runtime import (chunked_device_put,
                                                heartbeat as runtime_heartbeat)
 
@@ -255,15 +256,21 @@ def sample_features(graph: Graph, params, inputs: np.ndarray,
     if place_x is not None:
         params = _replicate_params(params, mesh)
     outs: dict[str, list] = {t: [] for t in tensors}
-    for group in groups:
-        fn = _feature_chunk_fn(graph, group, bs, compute_dtype)
-        for lo, hi in _chunk_iter(inputs, chunk_batches):
-            runtime_heartbeat()
-            x = chunked_device_put(inputs[lo:hi].reshape((-1,) + inputs.shape[2:]))
+    # chunk-outer / group-inner: the calibration images cross the tunnel ONCE
+    # per chunk and every group program reuses the device-resident buffer
+    # (groups-outer would re-upload the full image set per group — 3x h2d on
+    # VGG's 13 conv captures, and h2d dominates the freeze wall)
+    fns = [_feature_chunk_fn(graph, group, bs, compute_dtype)
+           for group in groups]
+    for lo, hi in _chunk_iter(inputs, chunk_batches):
+        runtime_heartbeat()
+        x = device_chunk(inputs, lo, hi)
+        if place_x is not None:
+            x = place_x(x)
+        for group, fn in zip(groups, fns):
             ys = {t: jnp.asarray(plan[t][0][lo:hi]) for t in group}
             xs = {t: jnp.asarray(plan[t][1][lo:hi]) for t in group}
             if place_x is not None:
-                x = place_x(x)
                 ys = {t: place_p(v) for t, v in ys.items()}
                 xs = {t: place_p(v) for t, v in xs.items()}
             res = fn(params, x, ys, xs)
@@ -305,7 +312,7 @@ def _sample_features_fused(graph: Graph, params, inputs: np.ndarray,
                 else:
                     key, w = g * p * bs, int(shp[1])
                 meta.setdefault(key, []).append((t, w))
-        x = chunked_device_put(inputs[lo:hi].reshape((-1,) + inputs.shape[2:]))
+        x = device_chunk(inputs, lo, hi)
         ys = {t: jnp.asarray(plan[t][0][lo:hi]) for t in ordered}
         xs = {t: jnp.asarray(plan[t][1][lo:hi]) for t in ordered}
         if place_x is not None:
@@ -351,7 +358,7 @@ def sample_patches(graph: Graph, params, inputs: np.ndarray, conv: str,
     outs = []
     for lo, hi in _chunk_iter(inputs, chunk_batches):
         runtime_heartbeat()
-        x = chunked_device_put(inputs[lo:hi].reshape((-1,) + inputs.shape[2:]))
+        x = device_chunk(inputs, lo, hi)
         yy, xx = jnp.asarray(ys_all[lo:hi]), jnp.asarray(xs_all[lo:hi])
         if place_x is not None:
             x, yy, xx = place_x(x), place_p(yy), place_p(xx)
@@ -369,7 +376,9 @@ class FrozenCache:
     responses of the ORIGINAL net (replaces frozen<nBatches>.pickle +
     MemoryData replay, lib/net.py:749-876)."""
 
-    inputs: np.ndarray                                   # (n_batches, bs, C, H, W)
+    # host array OR a SyntheticInputs spec (device-side generator — the
+    # smoke/bench calibration never exists on the host at all)
+    inputs: np.ndarray | SyntheticInputs                 # (n_batches, bs, C, H, W)
     plan: dict[str, tuple[np.ndarray, np.ndarray]]       # tensor -> (ys, xs)
     feats: dict[str, np.ndarray]                         # tensor -> sampled rows
     labels: np.ndarray | None = None                     # (n_batches, bs) int
@@ -385,7 +394,10 @@ class FrozenCache:
     def save(self, path: str | Path) -> None:
         path = Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
-        payload = {"inputs": self.inputs}
+        if isinstance(self.inputs, SyntheticInputs):
+            payload = {"inputs_spec": self.inputs.spec()}
+        else:
+            payload = {"inputs": self.inputs}
         if self.labels is not None:
             payload["labels"] = self.labels
         for t, (ys, xs) in self.plan.items():
@@ -408,7 +420,9 @@ class FrozenCache:
                 plan[t] = (z[k], z[f"plan_xs::{t}"])
             elif k.startswith("feats::"):
                 feats[k.split("::", 1)[1]] = z[k]
-        return FrozenCache(inputs=z["inputs"], plan=plan, feats=feats,
+        inputs = (SyntheticInputs.from_spec(z["inputs_spec"])
+                  if "inputs_spec" in z.files else z["inputs"])
+        return FrozenCache(inputs=inputs, plan=plan, feats=feats,
                            labels=z["labels"] if "labels" in z.files else None)
 
 
@@ -485,10 +499,19 @@ def freeze(graph: Graph, params, inputs: np.ndarray, *, tensors: Sequence[str] |
     shapes = shapes_of(graph, batch=inputs.shape[1])
     plan = make_point_plan(shapes, tensors, inputs.shape[0], n_points, seed,
                            share_key=share_key)
+    # the fused whole-net program is only used when its ancestors_subgraph
+    # covers the FULL graph — the FC-truncated variant reproducibly kills
+    # the axon worker ("kernel fault", 3/3 at 200/230 img/step) while the
+    # full-graph program has been stable at 250 across two rounds. Truncated
+    # capture sets (fitfc off on FC-heavy nets) take the grouped path.
+    covers_full = (len(graph.ancestors_subgraph(tuple(tensors)).layers)
+                   == len(graph.layers))
     feats = sample_features(graph, params, inputs, plan, tensors,
-                            chunk_batches=chunk_batches, mesh=mesh)
-    return FrozenCache(inputs=np.asarray(inputs), plan=plan, feats=feats,
-                       labels=labels)
+                            chunk_batches=chunk_batches, mesh=mesh,
+                            fuse=covers_full)
+    if not isinstance(inputs, SyntheticInputs):
+        inputs = np.asarray(inputs)
+    return FrozenCache(inputs=inputs, plan=plan, feats=feats, labels=labels)
 
 
 # ---------------------------------------------------------------------------
@@ -527,7 +550,7 @@ def channel_stats(graph: Graph, params, inputs: np.ndarray,
     acc: dict[str, list] = {t: [0.0, 0.0, 0.0] for t in tensors}
     for lo, hi in _chunk_iter(inputs, chunk_batches):
         runtime_heartbeat()
-        x = chunked_device_put(inputs[lo:hi].reshape((-1,) + inputs.shape[2:]))
+        x = device_chunk(inputs, lo, hi)
         res = fn(params, x)
         for t in tensors:
             s, ss, n = res[t]
@@ -572,7 +595,7 @@ def sample_dense(graph: Graph, params, inputs: np.ndarray,
     outs: dict[str, list[np.ndarray]] = {t: [] for t in tensors}
     for lo, hi in _chunk_iter(inputs, chunk_batches):
         runtime_heartbeat()
-        x = chunked_device_put(inputs[lo:hi].reshape((-1,) + inputs.shape[2:]))
+        x = device_chunk(inputs, lo, hi)
         res = fn(params, x)
         for t in tensors:
             outs[t].append(np.asarray(res[t]))

@@ -102,3 +102,50 @@ def test_single_layer_prune_end_to_end(tiny):
     # producer outputs physically shrunk (sole-consumer chain through pool)
     prod = P.producer_conv(g, g.layer(conv).bottoms[0], before=conv)
     assert params2[prod]["W"].shape[0] == res.keep.sum()
+
+
+def test_synthetic_inputs_chunk_invariant():
+    """Device-side calibration generation must be chunking-invariant: any
+    [lo,hi) slicing yields the same rows host() materialises (the freeze,
+    the rolling replays, and the HBM-clamped paths all chunk differently
+    over the SAME logical set)."""
+    from channel_pruning_tpu.sampling.inputs import SyntheticInputs, device_chunk
+
+    s = SyntheticInputs(n_batches=6, bs=4, sample_shape=(3, 16, 16), seed=7)
+    full = s.host()
+    assert full.shape == (6, 4, 3, 16, 16)
+    for lo, hi in ((0, 6), (0, 2), (2, 5), (5, 6)):
+        got = np.asarray(device_chunk(s, lo, hi))
+        want = full[lo:hi].reshape((-1, 3, 16, 16))
+        np.testing.assert_array_equal(got, want)
+    # host-array sources go through the same choke point
+    np.testing.assert_array_equal(np.asarray(device_chunk(full, 1, 3)),
+                                  full[1:3].reshape((-1, 3, 16, 16)))
+
+
+def test_freeze_parity_synthetic_vs_host(tiny):
+    """freeze() on a SyntheticInputs spec must be bit-identical to freeze()
+    on its materialised host array, and the cache must roundtrip the spec
+    (the npz stores 6 integers, not the calibration set)."""
+    from channel_pruning_tpu.sampling.inputs import SyntheticInputs
+
+    g, dparams, _ = tiny
+    s = SyntheticInputs(n_batches=6, bs=4, sample_shape=(3, 16, 16), seed=3)
+    c_dev = freeze(g, dparams, s, n_points=3, seed=0, chunk_batches=3)
+    c_host = freeze(g, dparams, s.host(), n_points=3, seed=0, chunk_batches=2)
+    assert set(c_dev.feats) == set(c_host.feats)
+    for t in c_dev.feats:
+        np.testing.assert_array_equal(c_dev.feats[t], c_host.feats[t])
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as td:
+        p = Path(td) / "cache.npz"
+        c_dev.save(p)
+        assert p.stat().st_size < 10 << 20  # no 1.1 MB input payload
+        c2 = FrozenCache.load(p)
+        assert isinstance(c2.inputs, SyntheticInputs)
+        assert c2.inputs == s
+        assert c2.n_batches == 6 and c2.batch_size == 4
+        np.testing.assert_array_equal(
+            c2.inputs.host(), s.host())

@@ -24,6 +24,12 @@ def main():
     ap.add_argument("--chunk", type=int, default=25,
                     help="batches per device step (CLI uses "
                          "sample.device_batch // bs = 10 by default)")
+    ap.add_argument("--no-fc", action="store_true",
+                    help="FC-truncated capture set (the fitfc-off CLI path)")
+    ap.add_argument("--host-inputs", action="store_true",
+                    help="host-array calibration (uploads ~n GB over the "
+                         "tunnel) instead of the device-side generator the "
+                         "CLI's synthetic mode now uses")
     args = ap.parse_args()
 
     from channel_pruning_tpu.models.vgg import build_vgg16, init_params
@@ -37,21 +43,36 @@ def main():
     params = init_params(g, seed=0)
     g, params = c3.preprocess(g, params)
     dparams = to_device_params(params)
-    rng = np.random.default_rng(0)
     n_batches = args.images // args.bs
-    inputs = rng.normal(0, 1, (n_batches, args.bs, 3, 224, 224)).astype(np.float32)
+    if args.host_inputs:
+        rng = np.random.default_rng(0)
+        inputs = rng.normal(0, 1, (n_batches, args.bs, 3, 224, 224)
+                            ).astype(np.float32)
+    else:
+        from channel_pruning_tpu.sampling.inputs import SyntheticInputs
+
+        inputs = SyntheticInputs(n_batches=n_batches, bs=args.bs,
+                                 sample_shape=(3, 224, 224), seed=0)
 
     results = {}
     modes = ["fused", "grouped"] if args.mode == "both" else [args.mode]
     for mode in modes:
         names = [g.layer(c).tops[0] for c in g.convs]
-        names += [g.layer(f).tops[0] for f in g.fcs]
+        if not args.no_fc:
+            names += [g.layer(f).tops[0] for f in g.fcs]
         from channel_pruning_tpu.graph.ir import shapes_of
         shapes = shapes_of(g, batch=args.bs)
         plan = sampler.make_point_plan(shapes, names, n_batches, 10, 0)
         # warm compile with a 1-chunk slice, then time the full pass
         ck = args.chunk
-        sampler.sample_features(g, dparams, inputs[:ck], plan={
+        if args.host_inputs:
+            warm = inputs[:ck]
+        else:
+            from channel_pruning_tpu.sampling.inputs import SyntheticInputs
+
+            warm = SyntheticInputs(n_batches=ck, bs=args.bs,
+                                   sample_shape=(3, 224, 224), seed=0)
+        sampler.sample_features(g, dparams, warm, plan={
             t: (p[0][:ck], p[1][:ck]) for t, p in plan.items()},
             tensors=names, chunk_batches=ck, fuse=(mode == "fused"))
         t0 = time.perf_counter()
