@@ -147,6 +147,7 @@ def cmd_prune(args):
     wd = _workdir(args)
     t0 = time.perf_counter()
     graph, params = _load_model(args)
+    print(f"[prune] model load {time.perf_counter() - t0:.1f}s")
     if ("vgg" in graph.name
             and not any(kv.startswith("solve.dtype") for kv in args.set or [])):
         # VGG preset: bf16 replay measured selection-identical to f32
@@ -178,16 +179,32 @@ def cmd_prune(args):
         tensors = freeze_tensor_set(
             graph, include_fc=cfg.dic.fitfc or fc_bytes < (64 << 20))
         fparams = params_for_tensors(graph, params, tensors)
-        cache = retry_on_worker_crash(lambda: freeze(
-            graph, to_device_params(fparams), inputs, tensors=tensors,
-            n_points=cfg.sample.n_points_per_layer,
-            seed=cfg.sample.seed, share_key=share, labels=labels,
-            chunk_batches=max(cfg.sample.freeze_device_batch
-                              // inputs.shape[1], 1),
-            mesh=_solver_mesh()))
+        t_phase = {}
+
+        def _freeze_once():
+            # upload inside: a crash retry must re-upload device state
+            t = time.perf_counter()
+            dfp = to_device_params(fparams)
+            t_phase["upload"] = time.perf_counter() - t
+            t = time.perf_counter()
+            c = freeze(
+                graph, dfp, inputs, tensors=tensors,
+                n_points=cfg.sample.n_points_per_layer,
+                seed=cfg.sample.seed, share_key=share, labels=labels,
+                chunk_batches=max(cfg.sample.freeze_device_batch
+                                  // inputs.shape[1], 1),
+                mesh=_solver_mesh())
+            t_phase["freeze"] = time.perf_counter() - t
+            return c
+
+        cache = retry_on_worker_crash(_freeze_once)
+        t_sv = time.perf_counter()
         cache.save(cache_path)
         print(f"[prune] froze calibration cache -> {cache_path} "
-              f"({time.perf_counter() - t0:.1f}s incl. load)")
+              f"({time.perf_counter() - t0:.1f}s incl. load: "
+              f"upload {t_phase.get('upload', 0):.1f}s, "
+              f"freeze {t_phase.get('freeze', 0):.1f}s, "
+              f"save {time.perf_counter() - t_sv:.1f}s)")
 
     is_vgg = "vgg" in graph.name
     if args.mode == "2c":

@@ -32,6 +32,7 @@ asymmetric reconstruction ordering (SURVEY.md §7 "hard parts").
 from __future__ import annotations
 
 import math
+import time
 from dataclasses import dataclass, field
 from typing import Mapping
 
@@ -350,6 +351,7 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         if target >= n_in:
             continue
         timer.tic()
+        t_ph = time.perf_counter()
         X = None
         if roll is not None:
             try:
@@ -396,6 +398,7 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                 feats_dev[top] = sampling.chunked_device_put(
                     np.asarray(cache.feats[top], np.float32))
             Y = feats_dev[top] - jnp.asarray(b2, jnp.float32)
+        t_solve = time.perf_counter()
         res = prune_mod.select_and_reconstruct(
             X, p_run[consumer]["W"], Y, int(target),
             rank_tol=cfg.dic.rank_tol, alpha0=cfg.solve.alpha,
@@ -405,6 +408,7 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             group=cfg.dic.grplasso, prefer=cfg.solve.band,
             fused=cfg.solve.fused_search)
         dt = timer.toc()
+        t_solve_s = time.perf_counter() - t_solve
 
         # running graph: zero-scattered reconstruction (static shapes)
         p_run[consumer]["W"] = _scatter_inputs(res.W, res.keep)
@@ -422,7 +426,8 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         if verbose:
             kind = "gate" if gate_only else "prune"
             print(f"[{kind}] {consumer}: keep {int(res.keep.sum())}/{n_in} "
-                  f"rMSE {res.rmse_before:.4f}->{res.rmse_after:.4f} ({dt:.2f}s)")
+                  f"rMSE {res.rmse_before:.4f}->{res.rmse_after:.4f} ({dt:.2f}s"
+                  f" = replay {t_solve - t_ph:.2f} + solve {t_solve_s:.2f})")
         if checkpoint is not None:
             checkpoint.maybe_save(i, {"p_run": p_run, "g_out": g_out,
                                       "p_out": p_out,
