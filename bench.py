@@ -250,6 +250,7 @@ def main():
                        "rmse": round(dev_err, 4), "min_ms": round(stats["min_ms"], 2),
                        "max_ms": round(stats["max_ms"], 2),
                        "n_runs": stats["n_runs"],
+                       "fused_search": stats["fused_search"],
                        "phases_ms": stats["phases"]},
             "sklearn_reference_algo": {"ms": round(sk_t * 1e3, 2),
                                        "kept": sk_keep,

@@ -339,8 +339,24 @@ def load_weights(graph: Graph, model_path: str | Path
     return new_graph, params
 
 
+def _fetch_host(params: Mapping) -> Mapping:
+    """One batched device->host fetch of every device-resident leaf.
+    `jax.device_get` starts `copy_to_host_async()` on ALL leaves before
+    converting any, so the transfers overlap on the link — a per-layer
+    `np.asarray` would serialize them (fc6 alone is 410 MB on VGG-16)."""
+    try:
+        import jax
+    except Exception:                                      # numpy-only caller
+        return params
+    if not any(isinstance(leaf, jax.Array)
+               for leaf in jax.tree_util.tree_leaves(params)):
+        return params
+    return jax.device_get(params)
+
+
 def save_weights(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                  path: str | Path) -> None:
+    params = _fetch_host(params)
     records: list[cm.CaffeLayerBlobs] = []
     for l in graph.layers:
         p = params.get(l.name)

@@ -54,6 +54,32 @@ def test_caffemodel_roundtrip(tmp_path):
             np.testing.assert_array_equal(back[k]["b"], params[k]["b"])
 
 
+def test_caffemodel_roundtrip_device_params(tmp_path):
+    """save_weights on DEVICE-resident params: the batched jax.device_get
+    fetch path (one async d2h per tree, not one blocking fetch per layer)
+    must produce a byte-identical artifact to the host-array path."""
+    import jax
+
+    g, params = build_tiny_vgg(batch=2, image_size=16)
+    cio.save_weights(g, params, tmp_path / "host.caffemodel")
+    dev = jax.tree_util.tree_map(jax.numpy.asarray, params)
+    cio.save_weights(g, dev, tmp_path / "dev.caffemodel")
+    assert (tmp_path / "host.caffemodel").read_bytes() == \
+           (tmp_path / "dev.caffemodel").read_bytes()
+
+
+def test_encode_blob_chunks_edge_shapes():
+    """Zero-copy memoryview encoding must handle 0-d, empty, and
+    non-contiguous/f64 blobs (BN factor scalars, transposed views)."""
+    for arr in [np.float32(3.5).reshape(()), np.zeros((0,), np.float32),
+                np.arange(12, dtype=np.float64).reshape(3, 4).T,
+                np.ones((5,), np.float32)[::2]]:
+        chunks = cm._encode_blob_chunks(np.asarray(arr))
+        blob = b"".join(bytes(c) for c in chunks)
+        back = cm._decode_blob(memoryview(blob))
+        np.testing.assert_array_equal(back, np.asarray(arr, np.float32))
+
+
 def test_caffemodel_wire_blob_legacy_dims(tmp_path):
     """Blobs carrying only legacy num/channels/height/width dims (pre-
     BlobShape caffemodels) must decode with the right shape."""
