@@ -158,6 +158,7 @@ def cmd_prune(args):
 
     graph, params = c3.preprocess(graph, params)
     inputs, labels = _calibration(args, graph)
+    mesh = _solver_mesh()  # once: freeze + solve share it (one banner)
 
     cache_path = wd / f"frozen_{inputs.shape[0]}x{inputs.shape[1]}.npz"
     if cache_path.exists() and not args.refreeze:
@@ -193,7 +194,7 @@ def cmd_prune(args):
                 seed=cfg.sample.seed, share_key=share, labels=labels,
                 chunk_batches=max(cfg.sample.freeze_device_batch
                                   // inputs.shape[1], 1),
-                mesh=_solver_mesh())
+                mesh=mesh)
             t_phase["freeze"] = time.perf_counter() - t
             return c
 
@@ -221,7 +222,7 @@ def cmd_prune(args):
         from channel_pruning_tpu.pipeline.checkpoint import SolveCheckpoint
         ck = SolveCheckpoint(wd / "solve_state_3c.pkl", every=1)
         res = c3.solve_3c(graph, params, cache, cfg, ranks, checkpoint=ck,
-                          mesh=_solver_mesh())
+                          mesh=mesh)
     else:
         input_targets = None
         if args.channels:
@@ -244,7 +245,7 @@ def cmd_prune(args):
         res = c3.solve_prune(graph, params, cache, cfg,
                              channel_targets=targets,
                              input_targets=input_targets,
-                             checkpoint=ck, mesh=_solver_mesh())
+                             checkpoint=ck, mesh=mesh)
 
     dt = time.perf_counter() - t0
     print(res.summary())

@@ -434,9 +434,14 @@ def lmdb_batches(path: str | Path, batch: int, *, new_dim: int = 256,
 
     def transform(d: Datum) -> np.ndarray:
         if d.encoded:
+            import jax
+
             rgb_hwc = d.to_array()[::-1].transpose(1, 2, 0)  # BGR CHW -> RGB HWC
+            key = (jax.random.PRNGKey(int(rng.integers(2 ** 31)))
+                   if random_crop else None)
             out = np.asarray(preprocess(jnp.asarray(rgb_hwc),
                                         new_dim=new_dim, crop=crop,
+                                        random_crop=random_crop, rng=key,
                                         mean=jnp.zeros(3, jnp.float32)))
             sub = mean_px[:, :crop, :crop] if mean_px.shape[1] > 1 else mean_px
             out = out - sub
@@ -459,16 +464,22 @@ def lmdb_batches(path: str | Path, batch: int, *, new_dim: int = 256,
         return out
 
     with LMDBReader(path) as rd:
-        refs = rd.leaf_refs()
-        if not refs:
+        if len(rd) == 0:
             raise ValueError(f"LMDB at {path} holds no records")
-        order = np.arange(len(refs))
+        # shuffle needs random access (leaf refs materialised once); the
+        # sequential path streams the B-tree cursor walk instead — an
+        # ImageNet-scale eval should not allocate 1.3M ref tuples up front
+        # or lose page locality just to read in order
+        refs = rd.leaf_refs() if shuffle else None
         imgs, labels = [], []
         while True:
             if shuffle:
-                rng.shuffle(order)
-            for idx in order:
-                d = decode_datum(rd.value_at(refs[idx]))
+                order = rng.permutation(len(refs))
+                raw_iter = (rd.value_at(refs[i]) for i in order)
+            else:
+                raw_iter = (v for _, v in rd.items())
+            for raw in raw_iter:
+                d = decode_datum(raw)
                 imgs.append(transform(d))
                 labels.append(d.label)
                 if len(imgs) == batch:

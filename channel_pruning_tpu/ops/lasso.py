@@ -303,8 +303,12 @@ def _fused_search(G: jax.Array, b: jax.Array, N: jax.Array, rank: int,
     diag = jnp.diagonal(G)
 
     def grid_supports(alphas):
-        betas = cd_solve_grid(G, b, (alphas * N).astype(dt),
-                              n_sweeps=n_sweeps)
+        # _solve_grid so the fused program uses the same Pallas CD kernels
+        # as the host-stepped path (VMEM <=1024 / HBM-streaming beyond) —
+        # cd_solve_grid here would silently drop to the ~8x-slower XLA
+        # fallback at ResNet res5 scale (c=2048)
+        betas = _solve_grid(G, b, (alphas * N).astype(dt),
+                            n_sweeps=n_sweeps)
         return betas, support_sizes(betas).astype(jnp.int32)
 
     alphas0 = jnp.float32(alpha0) * (2.0 ** jnp.arange(-2, grid_size - 2,

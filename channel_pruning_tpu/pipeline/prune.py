@@ -60,7 +60,8 @@ def _fused_layer_solve(Xd, W2d, Yd, rows, rank, rank_tol, alpha0,
     normal equations and exactly-zero coefficients under the jitter ridge
     (the same contract the bucketed gather path relies on for its padding),
     and the trace-scaled jitter sees only surviving channels' energy either
-    way — so W matches the gather path up to fp reduction order."""
+    way — so the lstsq.fit_linear W matches the gather path up to fp
+    reduction order."""
     N, c, kh, kw = Xd.shape
     n = W2d.shape[0]
     rmse_before = _device_rel_error(Xd, W2d, jnp.zeros((), jnp.float32), Yd)
@@ -74,18 +75,7 @@ def _fused_layer_solve(Xd, W2d, Yd, rows, rank, rank_tol, alpha0,
         grid_size, max_rounds, n_sweeps, prefer)
     colmask = jnp.repeat(mask, kh * kw).astype(Xd.dtype)
     Xm = Xd.reshape(N, c * kh * kw) * colmask
-    xm = jnp.mean(Xm, axis=0)
-    ym = jnp.mean(Yd, axis=0)
-    Xc = Xm - xm
-    G2 = Xc.T @ Xc
-    G2 = 0.5 * (G2 + G2.T)
-    scale = jnp.maximum(jnp.trace(G2), 1e-30)
-    G2 = G2 + (ridge + 1e-6 * scale) * jnp.eye(G2.shape[0], dtype=G2.dtype)
-    C = Xc.T @ (Yd - ym)
-    Wt = jax.scipy.linalg.cho_solve(
-        (jax.scipy.linalg.cholesky(G2, lower=True), True), C)
-    W = Wt.T                                   # (n, c*kh*kw), exact 0 off-mask
-    b = ym - W @ xm
+    W, b = lstsq.fit_linear(Xm, Yd, ridge=ridge)   # (n, c*kh*kw), 0 off-mask
     Wfull = W.reshape(n, c, kh, kw)
     rmse_after = _device_rel_error(Xd, Wfull, b, Yd)
     return mask, alpha, support, Wfull, b, rmse_before, rmse_after
@@ -155,7 +145,11 @@ def select_and_reconstruct(X: np.ndarray, W2: np.ndarray, Y: np.ndarray,
     Yd = chunked_device_put(np.asarray(Y, np.float32)) \
         if not isinstance(Y, jax.Array) else jnp.asarray(Y, jnp.float32)
 
-    if (fused and not group and not alter_iters and mesh is None
+    # group-lasso selection only ever applies to 1x1/FC consumers (the
+    # branch below is gated on kh*kw==1, mirroring decompose.py:439-444),
+    # so `group` on a k>1 conv must not knock out the fused fast path
+    group_active = group and X.shape[2] * X.shape[3] == 1
+    if (fused and not group_active and not alter_iters and mesh is None
             and rank < c):
         # whole-layer fused fast path: ONE device program for
         # rMSE/Z/Gram/search/reconstruction (see _fused_layer_solve)
@@ -187,7 +181,7 @@ def select_and_reconstruct(X: np.ndarray, W2: np.ndarray, Y: np.ndarray,
         keep = np.ones(c, bool)
         alpha = 0.0
     else:
-        if group and X.shape[2] * X.shape[3] == 1:
+        if group_active:
             # row-sparse group lasso directly on the (N, c) design — only
             # meaningful for 1x1/FC consumers (the reference's MultiTaskLasso
             # branch is likewise gated on afterconv/FC, decompose.py:439-444)

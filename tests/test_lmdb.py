@@ -136,3 +136,114 @@ def test_lmdb_batches_encoded(tmp_path):
     (imgs, labels), = lmdb_batches(tmp_path / "db", 1, new_dim=16, crop=8)
     assert imgs.shape == (1, 3, 8, 8) and labels[0] == 3
     assert np.isfinite(imgs).all()
+
+
+def _raw_datum_db(tmp_path, n, hw=8, name="db", seed=0):
+    rng = np.random.default_rng(seed)
+    items = []
+    for i in range(n):
+        arr = rng.integers(0, 256, (3, hw, hw), np.uint8)
+        d = Datum(channels=3, height=hw, width=hw, data=arr.tobytes(),
+                  label=i)
+        items.append((b"%08d" % i, encode_datum(d)))
+    write_lmdb(tmp_path / name, items)
+    return tmp_path / name
+
+
+def test_lmdb_batches_shuffle_covers_epoch_deterministically(tmp_path):
+    """shuffle=True must (a) visit every record exactly once per epoch,
+    (b) reorder vs key order, (c) be reproducible for a given seed —
+    this is what makes a class-sorted convert_imageset LMDB safe for
+    calibration (the reference shuffles at the cursor, lib/net.py:813-822)."""
+    db = _raw_datum_db(tmp_path, 64)
+    def epoch(seed):
+        labels = []
+        for _, y in lmdb_batches(db, 16, crop=4, shuffle=True, seed=seed):
+            labels.extend(y.tolist())
+        return labels
+    a, b, c = epoch(1), epoch(1), epoch(2)
+    assert sorted(a) == list(range(64))     # full coverage, no dup/drop
+    assert a == b                           # seed-deterministic
+    assert a != list(range(64))             # actually shuffled
+    assert c != a                           # seed changes the order
+
+
+def test_lmdb_batches_loop_carries_partial_batches(tmp_path):
+    """loop=True: tail records (n % batch != 0) must carry into the next
+    epoch's first batch, never be silently dropped (ADVICE r2)."""
+    db = _raw_datum_db(tmp_path, 5)
+    gen = lmdb_batches(db, 4, crop=4, loop=True)
+    seen = []
+    for _ in range(5):                       # 20 records = 4 epochs of 5
+        x, y = next(gen)
+        assert x.shape[0] == 4
+        seen.extend(y.tolist())
+    assert sorted(seen) == sorted(list(range(5)) * 4)
+
+
+def test_lmdb_batches_random_crop_and_mirror_raw(tmp_path):
+    """TRAIN-phase transform on raw datums: every output must be SOME
+    (possibly mirrored) crop window of the source, and offsets must vary."""
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 256, (3, 8, 8), np.uint8)
+    d = Datum(channels=3, height=8, width=8, data=arr.tobytes(), label=0)
+    write_lmdb(tmp_path / "db", [(b"0", encode_datum(d))] * 1)
+    crops = set()
+    for seed in range(12):
+        (x, _), = lmdb_batches(tmp_path / "db", 1, crop=4,
+                               mean=np.zeros(3, np.float32),
+                               random_crop=True, seed=seed)
+        got = x[0]
+        match = None
+        for y0 in range(5):
+            for x0 in range(5):
+                win = arr[:, y0:y0 + 4, x0:x0 + 4].astype(np.float32)
+                if np.array_equal(got, win):
+                    match = (y0, x0, False)
+                if np.array_equal(got, win[:, :, ::-1]):
+                    match = (y0, x0, True)
+        assert match is not None, f"seed {seed}: not a crop/mirror window"
+        crops.add(match)
+    assert len(crops) > 1                    # offsets/mirror actually vary
+
+
+def test_lmdb_batches_random_crop_encoded(tmp_path):
+    """TRAIN-phase transform on encoded datums: random_crop must vary the
+    crop window (pre-fix it silently center-cropped every epoch)."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (32, 24, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    d = Datum(data=buf.getvalue(), label=0, encoded=True)
+    write_lmdb(tmp_path / "db", [(b"0", encode_datum(d))])
+    outs = []
+    for seed in range(8):
+        (x, _), = lmdb_batches(tmp_path / "db", 1, new_dim=16, crop=8,
+                               random_crop=True, seed=seed)
+        outs.append(x[0])
+    distinct = {o.tobytes() for o in outs}
+    assert len(distinct) > 1                 # crop offset actually varies
+    (center, _), = lmdb_batches(tmp_path / "db", 1, new_dim=16, crop=8)
+    assert any(not np.array_equal(o, center[0]) for o in outs)
+
+
+def test_lmdb_batches_branch_page_tree_streaming_vs_shuffled(tmp_path):
+    """A DB deep enough to hold branch pages (depth >= 2) must stream the
+    SAME record set through the sequential cursor walk and the shuffled
+    leaf_refs random-access path (pins the child-pgno reconstruction,
+    lo | hi<<16 | nflags<<32)."""
+    db = _raw_datum_db(tmp_path, 400, hw=4)
+    with LMDBReader(db) as rd:
+        assert rd.depth >= 2
+    seq = []
+    for _, y in lmdb_batches(db, 32, crop=4):
+        seq.extend(y.tolist())
+    shuf = []
+    for _, y in lmdb_batches(db, 32, crop=4, shuffle=True, seed=7):
+        shuf.extend(y.tolist())
+    assert seq == list(range(400))           # cursor walk is key-ordered
+    assert sorted(shuf) == list(range(400))  # random access sees all leaves
