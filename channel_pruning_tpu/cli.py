@@ -381,6 +381,22 @@ def cmd_time(args):
     return res
 
 
+def cmd_deploy(args):
+    """Serving export: freeze the jitted forward (weights baked in) to a
+    portable StableHLO artifact via jax.export — the TPU-native analogue of
+    handing the pruned prototxt+caffemodel to stock Caffe
+    (/root/reference/README.md:100)."""
+    from channel_pruning_tpu import deploy
+
+    graph, params = _load_model(args)
+    out = args.out or str(_workdir(args) / f"{graph.name}.stablehlo")
+    payload = deploy.export_serialized(graph, params, out, batch=args.batch,
+                                       output=args.output)
+    print(f"[deploy] {out}: {len(payload):,} bytes "
+          f"(batch {args.batch or graph.inputs[0].shape[0]})")
+    return out
+
+
 def cmd_eval(args):
     from channel_pruning_tpu.train import evaluate as ev
     from channel_pruning_tpu.train.finetune import synthetic_batches
@@ -465,6 +481,13 @@ def main(argv=None):
     common(p)
     p.add_argument("--eval-batches", type=int, default=None)
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("deploy", help="export serving artifact (StableHLO)")
+    common(p)
+    p.add_argument("--out", default=None, help="output path (.stablehlo)")
+    p.add_argument("--output", default=None,
+                   help="graph tensor to serve (default: last output)")
+    p.set_defaults(fn=cmd_deploy)
 
     p = sub.add_parser("time", help="forward latency/throughput (caffe time)")
     common(p)

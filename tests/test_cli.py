@@ -40,6 +40,20 @@ def test_cli_time_action(tmp_path, capsys):
     assert res["images_per_sec"] > 0
 
 
+def test_cli_deploy_action(tmp_path):
+    """`deploy` exports a StableHLO serving artifact that rehydrates and
+    runs without the framework's Graph machinery."""
+    import numpy as np
+
+    from channel_pruning_tpu import deploy
+
+    out = cli.main(["deploy", "--model", "tiny_vgg", "--batch", "2",
+                    "--work-dir", str(tmp_path)])
+    fn = deploy.load_serialized(out)
+    y = np.asarray(fn(np.zeros((2, 3, 16, 16), np.float32)))
+    assert y.shape[0] == 2 and np.isfinite(y).all()
+
+
 def test_cli_set_overrides(tmp_path):
     from channel_pruning_tpu.cli import _build_config
 
