@@ -249,3 +249,21 @@ def test_fused_layer_solve_matches_default():
                / max(np.max(np.abs(r1.W)), 1e-9))
         assert rel < 1e-4, rel
         assert abs(r1.rmse_after - r2.rmse_after) < 1e-3
+
+
+def test_deploy_exports_pruned_graph(setup, tmp_path):
+    """The StableHLO serving export (deploy.py) must replay a PRUNED graph —
+    shrunk convs + zero-scattered consumers — bit-comparably to the
+    framework's own forward (the reference's deploy story hands the pruned
+    prototxt+caffemodel to stock Caffe, README.md:100)."""
+    from channel_pruning_tpu import deploy
+
+    g, params, inputs, cfg, cache = setup
+    targets = {"conv2_1": 8, "conv2_2": 9}
+    res = c3.solve_prune(g, params, cache, cfg, channel_targets=targets,
+                         verbose=False)
+    want = _final_probs(res.graph, res.params, inputs[0])
+    path = tmp_path / "pruned.stablehlo"
+    deploy.export_serialized(res.graph, res.params, path, output="prob")
+    got = np.asarray(deploy.load_serialized(path)(inputs[0]))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

@@ -116,3 +116,30 @@ def test_residual_compensation_reduces_block_error(setup):
 
     e_comp, e_naive = block_err(res_comp), block_err(res_naive)
     assert e_comp <= e_naive * 1.10, (e_comp, e_naive)
+
+
+def test_deploy_exports_select_gated_graph(setup, tmp_path):
+    """StableHLO export must carry the SELECT (Filter) channel gate: a
+    gated residual graph replays identically through the serialized
+    artifact (gates are compile-time gathers, rewrite.insert_select)."""
+    from channel_pruning_tpu import deploy
+    from channel_pruning_tpu.graph import rewrite
+
+    _, _, g, p, inputs, _, _ = setup
+    b2a = next(c for c in g.convs if c.endswith("branch2a"))
+    bottom = g.layer(b2a).bottoms[0]
+    cin = p[b2a]["W"].shape[1]
+    keep = np.zeros(cin, bool)
+    keep[:: 2] = True
+    gated = rewrite.insert_select(g, bottom, b2a, keep)
+    pg = {k: {kk: np.asarray(vv) for kk, vv in v.items()} for k, v in p.items()}
+    pg[b2a] = dict(pg[b2a])
+    pg[b2a]["W"] = pg[b2a]["W"][:, keep]
+
+    fwd = build_forward(gated, capture=("prob",), jit=False)
+    _, caps = fwd(to_device_params(pg), {"data": inputs[0]})
+    want = np.asarray(caps["prob"])
+    path = tmp_path / "gated.stablehlo"
+    deploy.export_serialized(gated, pg, path, output="prob")
+    got = np.asarray(deploy.load_serialized(path)(inputs[0]))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
