@@ -200,3 +200,21 @@ def test_export_with_imagedata_layer():
     # still importable (data layer becomes the input spec)
     g2 = cio.import_prototxt(text, batch=4, default_image=16)
     assert g2.convs == g.convs
+
+
+@pytest.mark.skipif(not REF.exists(), reason="reference tree not mounted")
+def test_band_check_tool_on_released_artifacts(capsys):
+    """tools/band_check.py verifies BOTH released structures: exact VGG 5x
+    widths (temp/channel_pruning.prototxt) and in-band ResNet 2x widths +
+    16 Filter gates (temp/resnet-50-cp.prototxt)."""
+    import importlib
+    import sys as _sys
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    band_check = importlib.import_module("band_check")
+    for proto, needle in [
+            ("temp/channel_pruning.prototxt", "13/13"),
+            ("temp/resnet-50-cp.prototxt", "32/32")]:
+        _sys.argv = ["band_check", str(REF / proto)]
+        assert band_check.main() == 0
+        assert needle in capsys.readouterr().out

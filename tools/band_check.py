@@ -1,9 +1,13 @@
-"""Structural fidelity check of a pruned ResNet-50 artifact against the
-released 2x model (reference temp/resnet-50-cp.prototxt): how many branch2a/
-branch2b widths land inside the released rank_tol band, and whether the 16
-Filter gate counts match.
+"""Structural fidelity check of a pruned artifact against the released
+models:
 
-Usage: python tools/band_check.py <cp_resnet50.prototxt> [--rank-tol 0.1]
+* ResNet-50 2x (reference temp/resnet-50-cp.prototxt): branch2a/branch2b
+  widths inside the released rank_tol band + the 16 Filter gate counts.
+* VGG-16 5x (reference temp/channel_pruning.prototxt): the 10 pruned conv
+  widths, matched EXACTLY (released-table runs use solve.band=bottom, which
+  lands on the exact counts).
+
+Usage: python tools/band_check.py <pruned.prototxt> [--family auto|resnet50|vgg16]
 """
 from __future__ import annotations
 
@@ -18,15 +22,45 @@ from channel_pruning_tpu.models.resnet import (  # noqa: E402
     RESNET50_2X_BRANCH2A, RESNET50_2X_BRANCH2B, RESNET50_2X_FILTERS)
 
 
+def check_vgg(g, widths) -> int:
+    """Exact-match check against the released 5x table
+    (models/vgg.VGG16_5X_CHANNELS = temp/channel_pruning.prototxt widths).
+    conv5_x stays unpruned in the released model and is skipped when absent
+    from the artifact's conv set."""
+    from channel_pruning_tpu.models.vgg import VGG16_5X_CHANNELS
+
+    exact = off = 0
+    for name, target in VGG16_5X_CHANNELS.items():
+        got = widths.get(name)
+        if got is None:
+            continue
+        if got == target:
+            exact += 1
+        else:
+            off += 1
+            print(f"  {name:18s} released {target:4d} got {got} MISMATCH")
+    print(f"[band_check] vgg16 widths exactly matching released table: "
+          f"{exact}/{exact + off}")
+    return 0 if off == 0 else 1
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("prototxt")
     ap.add_argument("--rank-tol", type=float, default=0.1)
+    ap.add_argument("--family", choices=("auto", "resnet50", "vgg16"),
+                    default="auto")
     args = ap.parse_args()
 
     g, _ = cio.import_model(args.prototxt, None, batch=1)
     widths = {l.name: int(l.attr("num_output")) for l in g.layers
               if l.attr("num_output") is not None}
+
+    family = args.family
+    if family == "auto":
+        family = "resnet50" if any("branch2a" in n for n in widths) else "vgg16"
+    if family == "vgg16":
+        return check_vgg(g, widths)
 
     in_band = out_band = 0
     rows = []
