@@ -326,6 +326,15 @@ def cmd_flop(args):
     if denom:
         print(f"[flop] {100.0 * total / denom:.2f}% of original "
               f"({denom / total:.2f}x speed-up)")
+    if args.what_if_keep is not None:
+        # reference `tools.py resnet` what-if (rescomputation,
+        # lib/net.py:1083-1104): branch widths scaled by keep
+        proj = flops.what_if_flops(graph, args.what_if_keep,
+                                   match=args.what_if_match)
+        base = denom or total
+        print(f"[flop] what-if keep={args.what_if_keep} on "
+              f"'{args.what_if_match}': {proj:,} mults "
+              f"({100.0 * proj / base:.2f}% of original)")
 
 
 def cmd_finetune(args):
@@ -462,6 +471,11 @@ def main(argv=None):
     p = sub.add_parser("flop", help="FLOPs accounting")
     common(p)
     p.add_argument("--orig-flops", type=int, default=None)
+    p.add_argument("--what-if-keep", type=float, default=None,
+                   help="project FLOPs with matching conv outputs scaled by "
+                        "this keep ratio (tools.py resnet what-if)")
+    p.add_argument("--what-if-match", default="branch2a",
+                   help="substring selecting the convs to scale")
     p.set_defaults(fn=cmd_flop)
 
     p = sub.add_parser("finetune", help="data-parallel SGD finetune")

@@ -49,6 +49,26 @@ def total_flops(graph: Graph, batch: int = 1, include_fc: bool = True,
     return total * batch
 
 
+def what_if_flops(graph: Graph, keep: float, match: str = "branch2a",
+                  verbose: bool = False) -> int:
+    """Projected conv multiply count if every conv whose name contains
+    `match` had its output count scaled by `keep` (reference rescomputation,
+    lib/net.py:1083-1104 / `tools.py resnet` action: a what-if for ResNet
+    pruning where branch2a widths shrink to keep*c_out)."""
+    shapes = shapes_of(graph, batch=1)
+    total = 0
+    for l in graph.layers:
+        if l.type != LT.CONV:
+            continue
+        f = layer_flops(graph, shapes, l.name)
+        if match in l.name:
+            f = int(f * keep)
+        if verbose:
+            print(f"  {l.name:>20s}: {f:>14,d}")
+        total += f
+    return total
+
+
 def speedup(graph: Graph, original_flops: int, include_fc: bool = False) -> float:
     """original / current multiply ratio (the calflop.sh number,
     tools.py:36-46)."""

@@ -67,3 +67,23 @@ def test_planner_matches_measured_ratio(family, speed):
     # agreement is 5.00 predicted -> 5.05 measured (BENCH_NOTES frcnn)
     assert abs(measured - predicted) / predicted < 0.08, (
         family, predicted, measured)
+
+
+def test_what_if_flops_scales_matching_convs():
+    """what_if_flops (reference rescomputation / tools.py resnet what-if)
+    scales only matching convs' output counts by keep."""
+    from channel_pruning_tpu.models.resnet import build_tiny_resnet
+    from channel_pruning_tpu.utils import flops
+
+    g, _ = build_tiny_resnet(batch=1, image_size=32)
+    full = flops.total_flops(g, include_fc=False)
+    half = flops.what_if_flops(g, 0.5, match="branch2a")
+    shapes_full = flops.total_flops(g, include_fc=False, verbose=False)
+    assert half < full == shapes_full
+    # the delta equals exactly half the branch2a contribution
+    from channel_pruning_tpu.graph.ir import LT, shapes_of
+    shapes = shapes_of(g, batch=1)
+    b2a = sum(flops.layer_flops(g, shapes, l.name) for l in g.layers
+              if l.type == LT.CONV and "branch2a" in l.name)
+    assert b2a > 0
+    assert abs((full - half) - b2a // 2) <= len(g.convs)  # int rounding
