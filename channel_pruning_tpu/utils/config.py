@@ -104,12 +104,14 @@ class SolveConfig:
     band: str = "top"
     # run the whole alpha search as ONE device program (lax.while_loop over
     # grid rounds, ops/lasso._fused_search) instead of host-stepped rounds.
-    # Saves ~10-20 tunnel round trips per layer; grid endpoints compute in
-    # f32 on device (vs f64 on host) so borderline supports can differ by
-    # one probe — support counts match on the parity battery
-    # (tests/test_solvers.py). Off by default: released-table reproductions
-    # stay on the measured-exact host path.
-    fused_search: bool = False
+    # Saves ~10-20 tunnel round trips per layer (~1.8x faster per-layer
+    # solve, BENCH_r03); grid endpoints compute in f32 on device (vs f64 on
+    # host) so borderline supports can differ by one probe — support counts
+    # match on the parity battery (tests/test_solvers.py) and whole-model
+    # keep structures are byte-identical on VGG 5x / 3C 4x / ResNet 2x.
+    # Default ON since round 4; --set solve.fused_search=False restores the
+    # host-stepped measured-exact path.
+    fused_search: bool = True
     # replay/extraction compute dtype. The reference runs f32 everywhere;
     # that stays the global default. bf16 forwards were measured
     # selection-identical to f32 (rMSE to 1e-3, BENCH_NOTES) on VGG-16 —
