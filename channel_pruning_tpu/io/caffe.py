@@ -115,6 +115,10 @@ def import_prototxt(text: str, *, batch: int | None = None,
                 attrs["kernel_size"] = int(p["kernel_size"])
                 attrs["stride"] = int(p.get("stride", 1))
                 attrs["pad"] = int(p.get("pad", 0))
+            # PoolingParameter.round_mode (CEIL default; FLOOR for the
+            # torch-style models, e.g. Xception's strided blocks)
+            if str(p.get("round_mode", "CEIL")).upper() == "FLOOR":
+                attrs["ceil_mode"] = False
             layers.append(Layer.make(lname, LT.POOL, bottoms, tops, **attrs))
         elif ltype == "ReLU":
             layers.append(Layer.make(lname, LT.RELU, bottoms, tops))
@@ -248,6 +252,8 @@ def export_prototxt(graph: Graph, data_layer: Mapping[str, Any] | None = None
                     pp["stride"] = int(a["stride"])
                 if a.get("pad", 0):
                     pp["pad"] = int(a["pad"])
+            if not a.get("ceil_mode", True):
+                pp["round_mode"] = "FLOOR"
             lm["pooling_param"] = pp
         elif l.type == LT.RELU:
             lm["type"] = "ReLU"

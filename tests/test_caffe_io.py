@@ -42,6 +42,26 @@ def test_prototxt_roundtrip_graph():
         assert s1[g.layer(c).tops[0]] == s2[g2.layer(c).tops[0]]
 
 
+def test_prototxt_roundtrip_floor_pooling():
+    """PoolingParameter.round_mode must survive export/import: Xception's
+    strided blocks pool with FLOOR (ceil_mode=False) and the eltwise join
+    shape-mismatches if the reimported pool silently reverts to Caffe's
+    CEIL default (found by the round-4 xception recovery chain)."""
+    from channel_pruning_tpu.models.xception import build_tiny_xception
+
+    g, _ = build_tiny_xception(batch=2, image_size=32)
+    g2 = cio.import_prototxt(cio.export_prototxt(g), batch=2)
+    pools = [l for l in g.layers if l.type == "Pooling" and not
+             l.attr("global_pooling", False)]
+    assert any(not l.attr("ceil_mode", True) for l in pools)
+    for l in pools:
+        assert g2.layer(l.name).attr("ceil_mode", True) == \
+            l.attr("ceil_mode", True), l.name
+    # and the reimported graph still shape-checks through the eltwise joins
+    s1, s2 = shapes_of(g), shapes_of(g2)
+    assert s1 == s2
+
+
 def test_caffemodel_roundtrip(tmp_path):
     g, params = build_tiny_vgg(batch=2, image_size=16)
     path = tmp_path / "m.caffemodel"
