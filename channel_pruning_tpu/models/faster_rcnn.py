@@ -52,6 +52,24 @@ def build_frcnn_backbone(batch: int = 1, image_size: int = 600,
     return g
 
 
+def frcnn_heads(graph: Graph, num_anchors: int | None = None):
+    """The RPN finetune heads: 2-way softmax per anchor on `rpn_cls_score`
+    plus SmoothL1 on `rpn_bbox_pred` — the py-faster-rcnn RPN losses
+    (reference README.md:116-119 delegates detection training there), here
+    as distillation targets against the frozen original backbone so the
+    pruned net recovers without detection labels.
+
+    bbox weight 1.0 matches py-faster-rcnn's rpn loss_weight; cls uses the
+    2-way fold (see HeadSpec.classes)."""
+    from channel_pruning_tpu.train.finetune import HeadSpec
+
+    names = {l.name for l in graph.layers}
+    if "rpn_cls_score" not in names or "rpn_bbox_pred" not in names:
+        raise ValueError("graph has no RPN heads (built with with_rpn=False?)")
+    return (HeadSpec("rpn_cls_score", kind="softmax_distill", classes=2),
+            HeadSpec("rpn_bbox_pred", kind="smooth_l1"))
+
+
 def build_tiny_frcnn(batch: int = 2, image_size: int = 48, seed: int = 0):
     from channel_pruning_tpu.models.vgg import init_params
 

@@ -67,6 +67,50 @@ def evaluate(graph: Graph, params: Mapping, batches: Iterable, *,
             "n_images": n}
 
 
+def evaluate_heads(graph: Graph, params: Mapping, teacher, heads,
+                   batches: Iterable, *, max_batches: int | None = None) -> dict:
+    """Head-level fidelity of a (pruned) multi-head net vs its frozen
+    teacher: per-head agreement (argmax match for softmax heads, -MAE for
+    smooth_l1 — see train.finetune.head_loss) plus the weighted loss. This
+    is the detection-backbone analogue of top-1/top-5: the reference's VOC
+    mAP eval lives out-of-repo (README.md:116-119), so head fidelity against
+    the original backbone is the in-repo recovery metric."""
+    from channel_pruning_tpu.train.finetune import head_loss
+
+    input_name = graph.inputs[0].name
+    tensors = tuple(h.tensor for h in heads)
+    dev = jax.tree_util.tree_map(jnp.asarray,
+                                 {k: dict(v) for k, v in params.items()})
+
+    @jax.jit
+    def step(p, x, targets):
+        _, caps = run_graph(graph, p, {input_name: x}, capture=tensors)
+        losses, agrees = [], []
+        for spec, tgt in zip(heads, targets):
+            l, a = head_loss(spec, caps[spec.tensor], tgt)
+            losses.append(spec.weight * l)
+            agrees.append(a)
+        return jnp.stack(losses), jnp.stack(agrees)
+
+    acc_l = acc_a = None
+    n = 0
+    for i, batch in enumerate(batches):
+        if max_batches is not None and i >= max_batches:
+            break
+        x = batch[0] if isinstance(batch, tuple) else batch
+        xd = jnp.asarray(x)
+        losses, agrees = step(dev, xd, teacher(xd))
+        acc_l = losses if acc_l is None else acc_l + losses
+        acc_a = agrees if acc_a is None else acc_a + agrees
+        n += 1
+    out = {"n_batches": n, "loss": float(acc_l.sum()) / max(n, 1)}
+    for j, h in enumerate(heads):
+        out[f"{h.tensor}:{'agree' if h.kind != 'smooth_l1' else 'neg_mae'}"] = (
+            float(acc_a[j]) / max(n, 1))
+        out[f"{h.tensor}:loss"] = float(acc_l[j]) / max(n, 1)
+    return out
+
+
 def evaluate_cache(graph: Graph, params, cache, *, max_batches=None,
                    mesh: jax.sharding.Mesh | None = None) -> dict[str, float]:
     """Accuracy over the frozen calibration batches — the reference's

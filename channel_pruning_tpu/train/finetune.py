@@ -40,6 +40,98 @@ def logits_tensor_of(graph: Graph) -> str:
     return graph.outputs()[-1]
 
 
+@dataclass(frozen=True)
+class HeadSpec:
+    """One loss head for multi-head finetuning.
+
+    The reference finetunes detection backbones inside py-faster-rcnn, whose
+    RPN trains with a 2-way softmax on `rpn_cls_score` plus SmoothL1 on
+    `rpn_bbox_pred` (reference README.md:116-119 delegates there; the head
+    layout is models/faster_rcnn.py here). We express that — and any other
+    multi-output net — as a list of HeadSpecs over named graph tensors.
+
+    kinds:
+      softmax_ce      — integer labels, softmax cross-entropy (classification)
+      softmax_distill — target is the TEACHER's raw head output; loss is
+                        cross-entropy against its softmax (soft targets).
+                        For conv heads (B, C, H, W) set `classes` to fold the
+                        channel axis to (classes, C//classes) — e.g. the RPN
+                        2-way anchor scores use classes=2.
+      smooth_l1       — Huber/SmoothL1 against the teacher's raw output
+                        (Caffe SmoothL1Loss, sigma=1).
+    """
+
+    tensor: str
+    kind: str = "softmax_ce"
+    weight: float = 1.0
+    classes: int = 0
+
+
+def _fold_softmax_axes(t: jax.Array, classes: int) -> jax.Array:
+    """(B, C, ...) -> (B, classes, C//classes * prod(...)) so the softmax runs
+    over the `classes` axis per anchor/location (Caffe Reshape+Softmax RPN
+    idiom)."""
+    if classes <= 0:
+        return t.reshape(t.shape[0], -1)
+    b, c = t.shape[0], t.shape[1]
+    rest = int(np.prod(t.shape[2:])) if t.ndim > 2 else 1
+    return t.reshape(b, classes, (c // classes) * rest)
+
+
+def head_loss(spec: HeadSpec, pred: jax.Array, target: jax.Array):
+    """Returns (loss, agreement) for one head. `agreement` is the fraction of
+    locations where the student's argmax matches the target's (softmax kinds),
+    or the negative mean absolute error (smooth_l1) — both 'higher is
+    better', used as the recovery metric for non-classification heads."""
+    if spec.kind == "softmax_ce":
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            pred, target).mean()
+        agree = (pred.argmax(-1) == target).mean()
+        return loss, agree
+    if spec.kind == "softmax_distill":
+        p = _fold_softmax_axes(pred, spec.classes)
+        t = _fold_softmax_axes(target, spec.classes)
+        loss = optax.softmax_cross_entropy(p.swapaxes(1, -1),
+                                           jax.nn.softmax(t, axis=1).swapaxes(1, -1)).mean()
+        agree = (p.argmax(1) == t.argmax(1)).mean()
+        return loss, agree
+    if spec.kind == "smooth_l1":
+        d = pred - target
+        ad = jnp.abs(d)
+        loss = jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5).mean()
+        return loss, -ad.mean()
+    raise ValueError(f"unknown head kind {spec.kind!r}")
+
+
+def distill_heads(graph: Graph) -> tuple[HeadSpec, ...]:
+    """Default distillation heads for a graph: the RPN pair for detection
+    backbones (models/faster_rcnn.py head names), else a single soft-target
+    softmax head on the classifier logits."""
+    names = {l.name for l in graph.layers}
+    if "rpn_cls_score" in names and "rpn_bbox_pred" in names:
+        from channel_pruning_tpu.models.faster_rcnn import frcnn_heads
+        return frcnn_heads(graph)
+    return (HeadSpec(logits_tensor_of(graph), kind="softmax_distill"),)
+
+
+def make_teacher_fn(graph: Graph, params: Mapping,
+                    heads: tuple[HeadSpec, ...]):
+    """Jitted x -> tuple of frozen-teacher head outputs (distillation
+    targets). Used when no task dataset exists for the head (the reference's
+    detection labels live out-of-repo in py-faster-rcnn)."""
+    input_name = graph.inputs[0].name
+    tensors = tuple(h.tensor for h in heads)
+    dev = jax.tree_util.tree_map(jnp.asarray,
+                                 {k: dict(v) for k, v in params.items()})
+
+    @jax.jit
+    def teacher(x):
+        _, caps = run_graph(graph, dev, {input_name: x}, capture=tensors)
+        return tuple(caps[t] for t in tensors)
+
+    return teacher
+
+
 def make_optimizer(cfg: FinetuneConfig) -> optax.GradientTransformation:
     """SGD + (Nesterov) momentum + step lr decay, matching
     temp/solver.prototxt:1-12 semantics (base_lr, gamma^floor(it/step))."""
@@ -59,13 +151,17 @@ def make_optimizer(cfg: FinetuneConfig) -> optax.GradientTransformation:
 
 def build_train_step(graph: Graph, cfg: FinetuneConfig,
                      mesh: jax.sharding.Mesh | None = None,
-                     donate: bool = True) -> Callable:
+                     donate: bool = True,
+                     heads: tuple[HeadSpec, ...] | None = None) -> Callable:
     """Returns step(state, x, y, rng) -> (state, metrics).
 
-    x: (B, C, H, W) float32, y: (B,) int32. With a mesh, the batch is sharded
-    over the 'data' axis and params are replicated — the pjit data-parallel
-    plan (SURVEY.md §2.3 row 'Data parallelism')."""
-    logits_t = logits_tensor_of(graph)
+    x: (B, C, H, W) float32. Default (heads=None): y: (B,) int32 labels,
+    single softmax-CE head. With `heads`, y is a TUPLE of per-head targets
+    (labels or teacher outputs per HeadSpec.kind) and the loss is the
+    weighted sum — the multi-head finetune used for detection backbones
+    (RPN cls + bbox, models/faster_rcnn.py). With a mesh, the batch is
+    sharded over the 'data' axis and params are replicated — the pjit
+    data-parallel plan (SURVEY.md §2.3 row 'Data parallelism')."""
     input_name = graph.inputs[0].name
     opt = make_optimizer(cfg)
     # Caffe BatchNorm blobs (mean/var/factor) carry lr_mult 0 — statistics are
@@ -75,14 +171,32 @@ def build_train_step(graph: Graph, cfg: FinetuneConfig,
     # diverges at moderate lr.
     frozen_layers = frozenset(l.name for l in graph.by_type(LT.BN))
 
-    def loss_fn(params, x, y, rng):
-        _, caps = run_graph(graph, params, {input_name: x},
-                            capture=(logits_t,), train=True, rng=rng)
-        logits = caps[logits_t]
-        loss = optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
-        acc1 = (logits.argmax(-1) == y).mean()
-        top5 = jnp.any(jnp.argsort(logits, axis=-1)[:, -5:] == y[:, None], axis=-1)
-        return loss, (acc1, top5.mean())
+    if heads is None:
+        logits_t = logits_tensor_of(graph)
+
+        def loss_fn(params, x, y, rng):
+            _, caps = run_graph(graph, params, {input_name: x},
+                                capture=(logits_t,), train=True, rng=rng)
+            logits = caps[logits_t]
+            loss = optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+            acc1 = (logits.argmax(-1) == y).mean()
+            top5 = jnp.any(jnp.argsort(logits, axis=-1)[:, -5:] == y[:, None], axis=-1)
+            return loss, (acc1, top5.mean())
+    else:
+        tensors = tuple(h.tensor for h in heads)
+
+        def loss_fn(params, x, y, rng):
+            _, caps = run_graph(graph, params, {input_name: x},
+                                capture=tensors, train=True, rng=rng)
+            total = 0.0
+            agrees = []
+            for spec, target in zip(heads, y):
+                l, agree = head_loss(spec, caps[spec.tensor], target)
+                total = total + spec.weight * l
+                agrees.append(agree)
+            # metrics slots keep the single-head names: top1 = first head's
+            # agreement, top5 = mean agreement across heads
+            return total, (agrees[0], sum(agrees) / len(agrees))
 
     def step(state_params, state_opt, state_step, x, y, rng):
         (loss, (acc1, acc5)), grads = jax.value_and_grad(
@@ -127,10 +241,17 @@ def init_state(graph: Graph, params: Mapping, cfg: FinetuneConfig,
 def finetune(graph: Graph, params: Mapping, data_iter, cfg: FinetuneConfig,
              mesh: jax.sharding.Mesh | None = None, max_steps: int | None = None,
              snapshot_dir: str | None = None, log_every: int = 100,
-             rng_seed: int = 0) -> TrainState:
-    """The `caffe train` loop. `data_iter` yields (x, y) numpy batches."""
+             rng_seed: int = 0, heads: tuple[HeadSpec, ...] | None = None,
+             teacher: Callable | None = None) -> TrainState:
+    """The `caffe train` loop. `data_iter` yields (x, y) numpy batches.
+
+    With `heads` + `teacher` (a jitted x -> targets-tuple from
+    make_teacher_fn), the labels from data_iter are ignored and each batch
+    is finetuned against the frozen teacher's head outputs — the recovery
+    protocol for detection backbones whose task labels live out-of-repo
+    (reference README.md:116-119)."""
     state = init_state(graph, params, cfg, mesh)
-    step_fn = build_train_step(graph, cfg, mesh)
+    step_fn = build_train_step(graph, cfg, mesh, heads=heads)
     key = jax.random.PRNGKey(rng_seed)
     n = max_steps if max_steps is not None else cfg.max_iter
     ckpt = None
@@ -143,7 +264,9 @@ def finetune(graph: Graph, params: Mapping, data_iter, cfg: FinetuneConfig,
             break
         heartbeat()
         key, sub = jax.random.split(key)
-        state, metrics = step_fn(state, jnp.asarray(x), jnp.asarray(y), sub)
+        xd = jnp.asarray(x)
+        yd = teacher(xd) if teacher is not None else jnp.asarray(y)
+        state, metrics = step_fn(state, xd, yd, sub)
         if log_every and (i + 1) % log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
             print(f"[finetune] it {i+1}: loss {m['loss']:.4f} "
