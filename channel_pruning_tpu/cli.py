@@ -64,11 +64,20 @@ def _image_batches(args, graph, **kw):
 
     crop = graph.inputs[0].shape[2]
     batch = kw.pop("batch", args.batch)
+    # Caffe transform_param.scale analogue: multiply the mean-subtracted
+    # pixels (e.g. 1/128 when feeding image-scale data to a unit-scale net)
+    scale = float(getattr(args, "input_scale", 1.0) or 1.0)
+
+    def scaled(it):
+        if scale == 1.0:
+            return it
+        return ((x * scale, y) for x, y in it)
+
     d = Path(args.data_dir)
     if d.name == "data.mdb" or (d / "data.mdb").exists():
         from channel_pruning_tpu.data.lmdb import lmdb_batches
-        return lmdb_batches(d, batch, new_dim=_resize_dim(crop), crop=crop,
-                            **kw)
+        return scaled(lmdb_batches(d, batch, new_dim=_resize_dim(crop),
+                                   crop=crop, **kw))
     n_files = len(dp._list_imagefolder(Path(args.data_dir))[0])
     if n_files <= _PRELOAD_MAX_IMAGES:
         key = (str(args.data_dir), crop)
@@ -77,9 +86,10 @@ def _image_batches(args, graph, **kw):
                 args.data_dir, new_dim=_resize_dim(crop), crop=crop)
         X, y = _PRELOAD_CACHE[key]
         kw.pop("random_crop", None)  # preload is center-crop only
-        return dp.memory_batches(X, y, batch, **kw)
-    return dp.imagefolder_batches(args.data_dir, batch,
-                                  new_dim=_resize_dim(crop), crop=crop, **kw)
+        return scaled(dp.memory_batches(X, y, batch, **kw))
+    return scaled(dp.imagefolder_batches(args.data_dir, batch,
+                                         new_dim=_resize_dim(crop), crop=crop,
+                                         **kw))
 
 
 def _calibration(args, graph):
@@ -352,6 +362,16 @@ def cmd_finetune(args):
     while n_dev > 1 and args.batch % n_dev:
         n_dev -= 1
     mesh = make_mesh(n_dev) if n_dev > 1 else None
+    heads = teacher = None
+    if getattr(args, "teacher_prototxt", None):
+        # distillation recovery against the frozen ORIGINAL net — the
+        # finetune path for heads whose task labels live out-of-repo
+        # (detection backbones; reference README.md:116-119)
+        teacher_g, teacher_p = _load_teacher(args)
+        heads = ft.distill_heads(teacher_g)
+        teacher = ft.make_teacher_fn(teacher_g, teacher_p, heads)
+        print(f"[finetune] distilling against {teacher_g.name}: "
+              + ", ".join(f"{h.tensor}({h.kind})" for h in heads))
     if args.data_dir:
         data = _image_batches(args, graph, shuffle=True, loop=True,
                               random_crop=True, seed=args.seed)
@@ -361,7 +381,8 @@ def cmd_finetune(args):
     wd = _workdir(args)
     state = ft.finetune(graph, params, data, cfg, mesh=mesh,
                         max_steps=args.steps,
-                        snapshot_dir=str(wd / "snapshots"))
+                        snapshot_dir=str(wd / "snapshots"),
+                        heads=heads, teacher=teacher)
     from channel_pruning_tpu.io import caffe as cio
     import jax as _jax
     host = _jax.tree_util.tree_map(np.asarray, state.params)
@@ -376,10 +397,42 @@ def cmd_time(args):
     program (lax.fori_loop) so the host<->device RTT amortises away — the
     compute-honest MFU view; without it each step pays a dispatch."""
     from channel_pruning_tpu.utils.profiling import (time_forward,
-                                                     time_forward_device_loop)
+                                                     time_forward_device_loop,
+                                                     time_per_layer)
 
     graph, params = _load_model(args)
-    if args.loop_steps:
+    if args.per_layer:
+        res = time_per_layer(graph, params, batch=args.batch,
+                             steps=args.per_layer_steps,
+                             compute_dtype=args.dtype)
+        other = None
+        if args.compare_prototxt:
+            from channel_pruning_tpu.io import caffe as cio
+            g2, p2 = cio.import_model(args.compare_prototxt,
+                                      args.compare_weights, batch=args.batch)
+            other = time_per_layer(g2, p2, batch=args.batch,
+                                   steps=args.per_layer_steps,
+                                   compute_dtype=args.dtype)
+            res["compare"] = other
+        by_name = {r["layer"]: r for r in (other or {}).get("layers", [])}
+        hdr = f"{'layer':>20s} {'type':>12s} {'ms':>9s} {'Gmult':>8s}"
+        if other:
+            hdr += f" {'pruned ms':>10s} {'speedup':>8s}"
+        print(hdr)
+        for r in res["layers"]:
+            line = (f"{r['layer']:>20s} {r['type']:>12s} {r['ms']:>9.3f} "
+                    f"{r['mults'] / 1e9:>8.3f}")
+            o = by_name.get(r["layer"])
+            if other:
+                line += (f" {o['ms']:>10.3f} {r['ms'] / o['ms']:>7.2f}x"
+                         if o else f" {'-':>10s} {'-':>8s}")
+            print(line)
+        total = f"{'TOTAL':>20s} {'':>12s} {res['sum_ms']:>9.3f}"
+        if other:
+            total += (f" {'':>8s} {other['sum_ms']:>10.3f} "
+                      f"{res['sum_ms'] / other['sum_ms']:>7.2f}x")
+        print(total)
+    elif args.loop_steps:
         res = time_forward_device_loop(graph, params, batch=args.batch,
                                        steps=args.loop_steps,
                                        compute_dtype=args.dtype)
@@ -406,20 +459,118 @@ def cmd_deploy(args):
     return out
 
 
+def _load_teacher(args):
+    from channel_pruning_tpu.io import caffe as cio
+
+    return cio.import_model(args.teacher_prototxt, args.teacher_weights,
+                            batch=args.batch)
+
+
 def cmd_eval(args):
     from channel_pruning_tpu.train import evaluate as ev
-    from channel_pruning_tpu.train.finetune import synthetic_batches
+    from channel_pruning_tpu.train import finetune as ft
 
     graph, params = _load_model(args)
     if args.data_dir:
         data = _image_batches(args, graph)
     else:
         shape = graph.inputs[0].shape
-        data = synthetic_batches(args.batch, image=shape[2])
-    res = ev.evaluate(graph, params, data, max_batches=args.eval_batches,
-                      verbose=True)
+        data = ft.synthetic_batches(args.batch, image=shape[2])
+    if getattr(args, "teacher_prototxt", None):
+        # head-fidelity eval vs the frozen original (detection backbones:
+        # VOC mAP lives out-of-repo, reference README.md:116-119)
+        teacher_g, teacher_p = _load_teacher(args)
+        heads = ft.distill_heads(teacher_g)
+        teacher = ft.make_teacher_fn(teacher_g, teacher_p, heads)
+        res = ev.evaluate_heads(graph, params, teacher, heads,
+                                (x for x, _ in data),
+                                max_batches=args.eval_batches)
+    else:
+        res = ev.evaluate(graph, params, data, max_batches=args.eval_batches,
+                          verbose=True)
     print(json.dumps(res))
     return res
+
+
+# the reference's released-model accuracy table (reference README.md:20-26);
+# ImageNet-val fractions. `verify-release --expect <key>` compares against it.
+RELEASED_ACCURACY = {
+    "channel_pruning_5x": {"accuracy@1": 0.678, "accuracy@5": 0.881},
+    "vgg16_3c_4x": {"accuracy@1": 0.706, "accuracy@5": 0.899},
+    "resnet50_2x": {"accuracy@1": 0.723, "accuracy@5": 0.908},
+}
+
+
+def cmd_verify_release(args):
+    """The reference's release acceptance protocol, as a runnable command:
+    `caffe test -iterations 5000` over val batches of 10 with
+    bicubic-resize-256 / center-crop-224 / BGR mean-file subtraction
+    (reference README.md:100, temp/vgg.prototxt:7-21), then the top-1/top-5
+    delta vs the published table (README.md:20-26). The environment ships
+    neither ImageNet nor the released caffemodels, so THIS command is the
+    protocol to run the day those assets exist:
+
+        cli verify-release --prototxt channel_pruning.prototxt \\
+            --weights channel_pruning.caffemodel --data-dir <imagenet-val> \\
+            --mean bgr.binaryproto --expect channel_pruning_5x
+    """
+    from channel_pruning_tpu.data import pipeline as dp
+    from channel_pruning_tpu.train import evaluate as ev
+
+    if not args.data_dir:
+        raise SystemExit("verify-release needs --data-dir (the val set: "
+                         "imagefolder or Caffe LMDB)")
+    graph, params = _load_model(args)
+    crop = graph.inputs[0].shape[2]
+    mean = None
+    if args.mean:
+        if str(args.mean).endswith(".npy"):
+            mean = dp.load_mean_file(args.mean)
+        else:
+            mean = dp.load_binaryproto_mean(args.mean, crop=crop)
+        print(f"[verify] mean file {args.mean}: shape {mean.shape}")
+        mean = dp.as_pixel_mean(mean)
+
+    d = Path(args.data_dir)
+    if d.name == "data.mdb" or (d / "data.mdb").exists():
+        from channel_pruning_tpu.data.lmdb import lmdb_batches
+        data = lmdb_batches(d, args.batch, new_dim=_resize_dim(crop),
+                            crop=crop, mean=None if mean is None else
+                            np.asarray(mean))
+    else:
+        data = dp.imagefolder_batches(args.data_dir, args.batch,
+                                      new_dim=_resize_dim(crop), crop=crop,
+                                      mean=mean)
+    res = ev.evaluate(graph, params, data, max_batches=args.iterations,
+                      verbose=True)
+
+    expect = {}
+    if args.expect:
+        if args.expect not in RELEASED_ACCURACY:
+            raise SystemExit(f"--expect {args.expect!r}: unknown release; "
+                             f"have {sorted(RELEASED_ACCURACY)}")
+        expect = dict(RELEASED_ACCURACY[args.expect])
+    if args.expect_top1 is not None:
+        expect["accuracy@1"] = args.expect_top1
+    if args.expect_top5 is not None:
+        expect["accuracy@5"] = args.expect_top5
+
+    out = {"measured": res, "protocol": {
+        "iterations": args.iterations, "batch": args.batch,
+        "resize": _resize_dim(crop), "crop": crop,
+        "mean": str(args.mean) if args.mean else "BGR pixel mean"}}
+    if expect:
+        deltas = {k: round(res[k] - v, 4) for k, v in expect.items()}
+        ok = all(res[k] >= v - args.tolerance for k, v in expect.items())
+        out.update(expected=expect, delta=deltas,
+                   tolerance=args.tolerance,
+                   verdict="PASS" if ok else "FAIL")
+        for k, v in expect.items():
+            print(f"[verify] {k}: measured {res[k]:.4f} vs released {v:.4f} "
+                  f"(delta {deltas[k]:+.4f})")
+        print(f"[verify] {out['verdict']} (tolerance {args.tolerance})")
+    print(json.dumps(out))
+    return out
 
 
 def main(argv=None):
@@ -442,6 +593,9 @@ def main(argv=None):
                             "smokes while the TPU is busy")
         p.add_argument("--set", action="append", metavar="KEY=VAL",
                        help="nested config override, e.g. dic.keep=3.0")
+        p.add_argument("--input-scale", type=float, default=1.0,
+                       help="multiply mean-subtracted pixels by this "
+                            "(Caffe transform_param.scale)")
 
     p = sub.add_parser("prune", help="c3 compression pipeline")
     common(p)
@@ -489,12 +643,39 @@ def main(argv=None):
                         "whose global L2 norm exceeds this (0 = off); "
                         "needed when finetuning 3C-decomposed nets")
     p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--teacher-prototxt", default=None,
+                   help="distill against this frozen original net instead "
+                        "of labels (multi-head recovery for detection "
+                        "backbones: RPN cls softmax + bbox SmoothL1)")
+    p.add_argument("--teacher-weights", default=None)
     p.set_defaults(fn=cmd_finetune)
 
     p = sub.add_parser("eval", help="top-1/top-5 evaluation")
     common(p)
     p.add_argument("--eval-batches", type=int, default=None)
+    p.add_argument("--teacher-prototxt", default=None,
+                   help="report per-head fidelity vs this frozen original "
+                        "net instead of label accuracy")
+    p.add_argument("--teacher-weights", default=None)
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("verify-release",
+                       help="released-model acceptance protocol: caffe test "
+                            "-iterations 5000 + delta vs the published table")
+    common(p)
+    p.add_argument("--iterations", type=int, default=5000,
+                   help="val batches to evaluate (reference README.md:100)")
+    p.add_argument("--mean", default=None,
+                   help="mean file (.binaryproto or .npy); default: BGR "
+                        "pixel mean")
+    p.add_argument("--expect", default=None,
+                   help=f"released model key: {sorted(RELEASED_ACCURACY)}")
+    p.add_argument("--expect-top1", type=float, default=None)
+    p.add_argument("--expect-top5", type=float, default=None)
+    p.add_argument("--tolerance", type=float, default=0.001,
+                   help="accepted shortfall vs the released numbers "
+                        "(BASELINE.md bar: top-5 within 0.1%%)")
+    p.set_defaults(fn=cmd_verify_release)
 
     p = sub.add_parser("deploy", help="export serving artifact (StableHLO)")
     common(p)
@@ -511,6 +692,16 @@ def main(argv=None):
                         "(RTT-free compute timing)")
     p.add_argument("--dtype", default=None,
                    help="compute dtype for the timed forward, e.g. bfloat16")
+    p.add_argument("--per-layer", action="store_true",
+                   help="per-layer forward ms table (caffe time parity, "
+                        "lib/net.py:1755-1760); each layer timed as its own "
+                        "device loop over its real inputs")
+    p.add_argument("--per-layer-steps", type=int, default=20,
+                   help="loop iterations per layer program")
+    p.add_argument("--compare-prototxt", default=None,
+                   help="also time this (pruned) model and print side-by-side "
+                        "per-layer speedups")
+    p.add_argument("--compare-weights", default=None)
     p.set_defaults(fn=cmd_time)
 
     args = parser.parse_args(argv)

@@ -40,8 +40,11 @@ def preprocess(img: jax.Array, *, new_dim: int = 256, crop: int = 224,
         nh, nw = new_dim, max(int(round(w * new_dim / h)), new_dim)
     else:
         nh, nw = max(int(round(h * new_dim / w)), new_dim), new_dim
-    # antialias=False matches OpenCV INTER_CUBIC — what the Caffe fork's
-    # `bicubic: true` actually runs (plain 4-tap Keys kernel, no prefilter)
+    # antialias=False = the plain 4-tap Keys kernel (a=-0.5): bit-matches
+    # PIL float bicubic on upsample (tests/test_data_pipeline.py golden);
+    # OpenCV INTER_CUBIC differs only in kernel sharpness (a=-0.75,
+    # ~0.2/255 ripple on a ramp). The Caffe fork's `bicubic: true` is the
+    # same no-prefilter 4-tap family.
     img = jax.image.resize(img, (nh, nw, img.shape[2]), method="bicubic",
                            antialias=False)
     if random_crop and rng is not None:
@@ -61,6 +64,35 @@ def load_mean_file(path: str | Path) -> np.ndarray:
     """Load a mean array saved as .npy (CHW or pixel). Caffe binaryproto
     means should be converted once with tools/convert_mean."""
     return np.load(path).astype(np.float32)
+
+
+def load_binaryproto_mean(path: str | Path,
+                          crop: int | None = None) -> np.ndarray:
+    """Decode a Caffe mean .binaryproto (BlobProto wire format) to a float32
+    (C, H, W) array — the mean file the reference's data layers subtract
+    (lib/net.py:812, temp/bgr.binaryproto). With `crop`, center-crop to
+    (C, crop, crop): Caffe's DataTransformer applies the mean on the cropped
+    window, and `preprocess` here subtracts AFTER the crop."""
+    from channel_pruning_tpu.io.caffemodel import _decode_blob
+
+    arr = np.asarray(_decode_blob(memoryview(Path(path).read_bytes())),
+                     np.float32)
+    while arr.ndim > 3 and arr.shape[0] == 1:
+        arr = arr[0]
+    if crop is not None and arr.ndim == 3:
+        h, w = arr.shape[1], arr.shape[2]
+        y0, x0 = (h - crop) // 2, (w - crop) // 2
+        arr = arr[:, y0:y0 + crop, x0:x0 + crop]
+    return arr
+
+
+def as_pixel_mean(mean: np.ndarray) -> np.ndarray:
+    """(C,H,W) mean file -> HWC-broadcastable form for `preprocess` (which
+    subtracts on HWC before the CHW transpose): (H,W,C) for a full mean
+    image, (C,) stays per-channel."""
+    if mean.ndim == 3:
+        return np.transpose(mean, (1, 2, 0))
+    return mean
 
 
 def _list_imagefolder(root: Path) -> tuple[list[Path], list[int], list[str]]:

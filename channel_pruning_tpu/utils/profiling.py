@@ -82,6 +82,76 @@ def time_forward(graph, params, batch: int | None = None, iters: int = 20,
     }
 
 
+def time_per_layer(graph, params, batch: int | None = None, steps: int = 20,
+                   repeats: int = 2, compute_dtype=None) -> dict:
+    """Per-layer forward times — the `caffe time` per-layer table
+    (lib/net.py:1755-1760 prints each layer's forward ms).
+
+    Each layer is timed as its OWN fori_loop device program over its real
+    captured input tensors (data-dependent chaining so XLA cannot elide the
+    iterations), so the per-layer ms reflect chip compute, not per-dispatch
+    RTT. Returns {"layers": [{name, type, ms, mults}...], "sum_ms": float}.
+    The sum should land within ~10% of time_forward_device_loop's per-step
+    number (fusion across layer boundaries accounts for the gap).
+    """
+    import functools
+
+    import jax.numpy as jnp
+
+    from channel_pruning_tpu.graph.ir import LT, shapes_of
+    from channel_pruning_tpu.ops.forward import compute_layer, to_device_params
+    from channel_pruning_tpu.utils import flops as flops_mod
+
+    timed_types = (LT.CONV, LT.FC, LT.POOL, LT.ELTWISE, LT.BN, LT.SCALE,
+                   LT.RELU, LT.SOFTMAX, LT.CONCAT, LT.SELECT, LT.FLATTEN)
+    shape = graph.inputs[0].shape
+    b = batch or shape[0]
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(0, 1, (b,) + tuple(shape[1:])).astype(np.float32))
+    dev = to_device_params(params)
+
+    # one eager forward pass, snapshotting every timed layer's inputs AT ITS
+    # EXECUTION POINT (in-place tops overwrite env entries afterwards)
+    env = {graph.inputs[0].name: jnp.transpose(x, (0, 2, 3, 1))}
+    layer_inputs: dict[str, list] = {}
+    for l in graph.layers:
+        if l.type in timed_types and all(bt in env for bt in l.bottoms):
+            layer_inputs[l.name] = [env[bt] for bt in l.bottoms]
+        compute_layer(l, env, dev, compute_dtype=compute_dtype)
+
+    shapes = shapes_of(graph, batch=1)
+    rows = []
+    for l in graph.layers:
+        if l.name not in layer_inputs:
+            continue
+        xs = tuple(layer_inputs[l.name])
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def layer_loop(params, xs, n, l=l):
+            def body(_, carry):
+                x0, acc = carry
+                e = dict(zip(l.bottoms, (x0,) + xs[1:]))
+                compute_layer(l, e, params, compute_dtype=compute_dtype)
+                s = e[l.tops[0]].sum().astype(jnp.float32)
+                # numerically-no-op chaining: XLA cannot collapse the n
+                # iterations into one
+                return x0 * (1.0 + 1e-30 * s), acc + s
+            _, acc = jax.lax.fori_loop(0, n, body, (xs[0], jnp.float32(0)))
+            return acc
+
+        float(layer_loop(dev, xs, steps))          # compile + warm
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(layer_loop(dev, xs, steps))      # scalar fetch = fence
+            times.append((time.perf_counter() - t0) / steps)
+        rows.append({"layer": l.name, "type": l.type,
+                     "ms": float(np.min(times)) * 1e3,
+                     "mults": flops_mod.layer_flops(graph, shapes, l.name) * b})
+    return {"batch": float(b), "steps": float(steps),
+            "layers": rows, "sum_ms": float(sum(r["ms"] for r in rows))}
+
+
 def time_forward_device_loop(graph, params, batch: int | None = None,
                              steps: int = 20, repeats: int = 3,
                              compute_dtype=None) -> dict[str, float]:

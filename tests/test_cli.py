@@ -84,3 +84,48 @@ def test_cli_full_chain_prune_addbn_finetune_eval(tmp_path):
                     "--weights", f"{wd}/ft_tiny_vgg.caffemodel",
                     "--batch", "4", "--eval-batches", "2", "--work-dir", wd])
     assert res["n_images"] == 8
+
+
+def test_cli_verify_release(tmp_path):
+    """The released-model acceptance protocol as a command (reference
+    README.md:100): resize/crop/mean eval over a val folder, delta + verdict
+    vs an expected table."""
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    val = tmp_path / "val"
+    for ci in range(2):
+        d = val / f"c{ci}"
+        d.mkdir(parents=True)
+        for i in range(4):
+            arr = rng.integers(0, 256, (40, 40, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.png")
+    wd = str(tmp_path)
+    cli.main(["finetune", "--model", "tiny_vgg", "--batch", "4", "--steps",
+              "1", "--work-dir", wd])
+    args = ["verify-release", "--prototxt", f"{wd}/ft_tiny_vgg.prototxt",
+            "--weights", f"{wd}/ft_tiny_vgg.caffemodel", "--batch", "4",
+            "--data-dir", str(val), "--iterations", "2"]
+    res = cli.main(args + ["--expect-top1", "0.0", "--expect-top5", "0.0"])
+    assert res["verdict"] == "PASS"
+    assert res["measured"]["n_images"] == 8
+    assert res["protocol"]["iterations"] == 2
+    res = cli.main(args + ["--expect-top1", "0.99"])
+    assert res["verdict"] == "FAIL"
+    assert "accuracy@1" in res["delta"]
+
+    mean_file = "/root/reference/temp/bgr.binaryproto"
+    import os
+    if os.path.exists(mean_file):
+        res = cli.main(args + ["--mean", mean_file, "--expect-top1", "0.0"])
+        assert res["verdict"] == "PASS"
+
+
+def test_cli_verify_release_known_tables():
+    from channel_pruning_tpu.cli import RELEASED_ACCURACY
+
+    # the published accuracy table, reference README.md:20-26
+    assert RELEASED_ACCURACY["channel_pruning_5x"]["accuracy@5"] == 0.881
+    assert RELEASED_ACCURACY["vgg16_3c_4x"]["accuracy@1"] == 0.706
+    assert RELEASED_ACCURACY["resnet50_2x"]["accuracy@5"] == 0.908

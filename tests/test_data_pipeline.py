@@ -47,3 +47,69 @@ def test_random_crop_differs(image_dir):
     b = list(imagefolder_batches(image_dir, batch=2, new_dim=40, crop=32,
                                  random_crop=True, seed=2))[0][0]
     assert not np.allclose(a, b)
+
+
+BGR_BINARYPROTO = "/root/reference/temp/bgr.binaryproto"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(BGR_BINARYPROTO),
+                    reason="reference mean file not present")
+def test_bgr_binaryproto_external_golden():
+    """Decode the one real Caffe binary artifact available — the reference's
+    ImageNet BGR mean file (consumed at lib/net.py:812) — through the
+    from-scratch BlobProto wire codec. External (non-self-referential)
+    validation: the decoded per-channel means must match the published
+    ILSVRC BGR mean pixel to ~1/255."""
+    from channel_pruning_tpu.data.pipeline import load_binaryproto_mean
+
+    m = load_binaryproto_mean(BGR_BINARYPROTO)
+    assert m.shape == (3, 224, 224)
+    ch = m.mean(axis=(1, 2))
+    np.testing.assert_allclose(ch, BGR_MEAN, atol=1.0)
+    assert 90 < m.min() and m.max() < 135  # a mean image, not noise
+    # crop path used by verify-release
+    c = load_binaryproto_mean(BGR_BINARYPROTO, crop=128)
+    assert c.shape == (3, 128, 128)
+    np.testing.assert_allclose(c, m[:, 48:176, 48:176])
+
+
+def test_preprocess_bicubic_matches_pil_float():
+    """External cross-validation of the device resize kernel: on upsample,
+    jax.image bicubic (antialias=False, Keys a=-0.5) must bit-match PIL's
+    float bicubic (PIL only prefilters on downsample). Run per-channel in
+    PIL 'F' mode — uint8-mode PIL output rounds/clamps and masks the
+    comparison."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (64, 64, 3)).astype(np.float32)
+    pil = np.stack([np.asarray(Image.fromarray(img[:, :, c], mode="F")
+                               .resize((128, 128), Image.BICUBIC))
+                    for c in range(3)], -1)
+    jx = np.asarray(jax.image.resize(jnp.asarray(img), (128, 128, 3),
+                                     method="bicubic", antialias=False))
+    np.testing.assert_allclose(jx, pil, atol=1e-3)
+
+
+def test_preprocess_full_chain_matches_pil_reference():
+    """The whole `preprocess` (shorter-side bicubic resize -> center crop ->
+    BGR -> mean subtract -> CHW) against an independent PIL+numpy
+    reimplementation on an upsampling path."""
+    import jax.numpy as jnp
+
+    from channel_pruning_tpu.data.pipeline import preprocess
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (48, 72, 3)).astype(np.uint8)
+    got = np.asarray(preprocess(jnp.asarray(img), new_dim=96, crop=80))
+
+    nh, nw = 96, int(round(72 * 96 / 48))
+    ref = np.stack([np.asarray(Image.fromarray(img[:, :, c].astype(np.float32),
+                                               mode="F").resize((nw, nh),
+                                                                Image.BICUBIC))
+                    for c in range(3)], -1)
+    y0, x0 = (nh - 80) // 2, (nw - 80) // 2
+    ref = ref[y0:y0 + 80, x0:x0 + 80, ::-1] - BGR_MEAN
+    ref = np.transpose(ref, (2, 0, 1))
+    np.testing.assert_allclose(got, ref, atol=1e-2)

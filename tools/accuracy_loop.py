@@ -29,10 +29,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from channel_pruning_tpu import cli  # noqa: E402
 
 
+EXTRA: list = []  # global CLI flags (e.g. --input-scale), set in main()
+
+
 def ev(prototxt, weights, data_val, batch=61):
     return cli.main(["eval", "--prototxt", str(prototxt), "--weights",
                      str(weights), "--data-dir", str(data_val),
-                     "--batch", str(batch)])
+                     "--batch", str(batch)] + EXTRA)
 
 
 def subset_imagefolder(src: Path, dst: Path, limit: int, seed: int = 0):
@@ -70,6 +73,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--work", default="/tmp/digits_loop")
     ap.add_argument("--data", default="/tmp/digits")
+    ap.add_argument("--arch", default="digits_vgg",
+                    help="registry model to train/prune/recover (e.g. "
+                         "tiny_xception for the depthwise-separable family)")
+    ap.add_argument("--train-lr", default="1e-3")
+    ap.add_argument("--train-batch", default="64")
+    ap.add_argument("--input-scale", default=None,
+                    help="transform_param.scale for every stage (train/"
+                         "calibrate/eval); scale-sensitive families "
+                         "(xception: frozen near-identity BN at init) need "
+                         "~1/128 to train from scratch on pixel data")
     ap.add_argument("--modes", default="2.0,4.0,3c")
     ap.add_argument("--train-steps", type=int, default=800)
     ap.add_argument("--recover-steps", type=int, default=400)
@@ -92,6 +105,8 @@ def main():
                          "(prune must cost >=5 points; recovery must restore "
                          ">=80%% of the drop)")
     args = ap.parse_args()
+    if args.input_scale:
+        EXTRA.extend(["--input-scale", args.input_scale])
     if args.stress:
         args.train_limit = args.train_limit or 160
         if args.modes == "2.0,4.0,3c":
@@ -112,13 +127,14 @@ def main():
     t0 = time.time()
 
     # 1. train from scratch with the repo's own finetune loop
-    ft_pt = work / "ft_digits_vgg.prototxt"
-    ft_w = work / "ft_digits_vgg.caffemodel"
+    ft_pt = work / f"ft_{args.arch}.prototxt"
+    ft_w = work / f"ft_{args.arch}.caffemodel"
     if not ft_w.exists():
-        cli.main(["finetune", "--model", "digits_vgg", "--data-dir",
-                  str(train_dir), "--batch", "64", "--lr", "1e-3",
+        cli.main(["finetune", "--model", args.arch, "--data-dir",
+                  str(train_dir), "--batch", args.train_batch,
+                  "--lr", args.train_lr,
                   "--lr-step", "500", "--steps", str(args.train_steps),
-                  "--work-dir", str(work)])
+                  "--work-dir", str(work)] + EXTRA)
     base = ev(ft_pt, ft_w, val_dir)
     print(f"[loop] baseline val top1 {base['accuracy@1']:.4f}")
 
@@ -130,14 +146,14 @@ def main():
         is_3c, speed, tag = parse_mode(mode)
         wd = work / tag
         prefix = "3C" if is_3c else "cp"
-        pruned_pt = wd / f"{prefix}_digits_vgg.prototxt"
-        pruned_w = wd / f"{prefix}_digits_vgg.caffemodel"
+        pruned_pt = wd / f"{prefix}_{args.arch}.prototxt"
+        pruned_w = wd / f"{prefix}_{args.arch}.caffemodel"
         res = cli.main(["prune", "--prototxt", str(ft_pt), "--weights",
                         str(ft_w), "--data-dir", str(train_dir),
                         "--mode", "3c" if is_3c else "prune",
                         "--speed", speed,
                         "--cal-batches", str(args.cal_batches),
-                        "--cal-batch", "10", "--work-dir", str(wd)])
+                        "--cal-batch", "10", "--work-dir", str(wd)] + EXTRA)
         from channel_pruning_tpu.utils import flops
         base_g, _ = cli._load_model(argparse.Namespace(
             prototxt=str(ft_pt), weights=None, batch=61, image_size=None,
@@ -150,7 +166,7 @@ def main():
             cli.main(["addbn", "--prototxt", str(pruned_pt), "--weights",
                       str(pruned_w), "--data-dir", str(train_dir),
                       "--cal-batches", str(args.cal_batches),
-                      "--cal-batch", "10", "--work-dir", str(wd)])
+                      "--cal-batch", "10", "--work-dir", str(wd)] + EXTRA)
             pruned_pt = wd / f"bn_{res.graph.name}.prototxt"
             pruned_w = wd / f"bn_{res.graph.name}.caffemodel"
         ft_args = ["finetune", "--prototxt", str(pruned_pt), "--weights",
@@ -161,7 +177,7 @@ def main():
                    "--work-dir", str(wd)]
         if args.recover_lr_step:
             ft_args += ["--lr-step", str(args.recover_lr_step)]
-        cli.main(ft_args)
+        cli.main(ft_args + EXTRA)
         rec_pt = wd / f"ft_{res.graph.name}.prototxt"
         rec_w = wd / f"ft_{res.graph.name}.caffemodel"
         rec = ev(rec_pt, rec_w, val_dir)
