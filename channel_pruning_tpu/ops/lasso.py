@@ -277,9 +277,9 @@ def search_alpha(gram: LassoGram, rank: int, rank_tol: float,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "rank", "rank_tol", "alpha0", "grid_size", "max_rounds", "n_sweeps",
+    "rank_tol", "alpha0", "grid_size", "max_rounds", "n_sweeps",
     "prefer"))
-def _fused_search(G: jax.Array, b: jax.Array, N: jax.Array, rank: int,
+def _fused_search(G: jax.Array, b: jax.Array, N: jax.Array, rank: jax.Array,
                   rank_tol: float, alpha0: float, grid_size: int,
                   max_rounds: int, n_sweeps: int, prefer: str):
     """The whole alpha search as ONE device program (lax.while_loop over
@@ -296,9 +296,15 @@ def _fused_search(G: jax.Array, b: jax.Array, N: jax.Array, rank: int,
     exact-count path returns exactly `rank`)."""
     c = G.shape[0]
     dt = G.dtype
-    lbound = jnp.int32(rank)
-    rbound_f = rank + (rank_tol if rank_tol >= 1 else rank_tol * rank)
-    rbound = jnp.float32(rbound_f)
+    # `rank` is a DEVICE scalar (not static): the keep target is the one
+    # per-layer variation in an otherwise shape-identical program, and
+    # making it dynamic lets every same-shaped layer share ONE compile
+    # (from-scratch VGG pays 7 fused-solve compiles instead of 10+)
+    lbound = jnp.asarray(rank, jnp.int32)
+    rbound_f = (lbound.astype(jnp.float32)
+                + (rank_tol if rank_tol >= 1
+                   else rank_tol * lbound.astype(jnp.float32)))
+    rbound = rbound_f
     top = prefer == "top"
     diag = jnp.diagonal(G)
 
@@ -357,7 +363,7 @@ def _fused_search(G: jax.Array, b: jax.Array, N: jax.Array, rank: int,
 
         # --- band-edge termination / refinement-budget termination
         edge = jnp.where(jnp.bool_(top),
-                         cand_support >= jnp.int32(rbound_f),
+                         cand_support >= rbound_f.astype(jnp.int32),
                          cand_support <= lbound) & cand_found
         refines = s["refines"] + jnp.where(any_band & ~edge, 1, 0)
         budget_done = refines > 2
@@ -432,7 +438,7 @@ def _fused_search(G: jax.Array, b: jax.Array, N: jax.Array, rank: int,
 
     # --- final selection (device-side mirror of search_alpha's epilogue)
     order_pos = jnp.argsort(jnp.argsort(-s["over_absb"]))  # rank of each coord
-    trim_mask = order_pos < rank
+    trim_mask = order_pos < lbound
     # top-up path: nearest-support mask from the last round + highest-energy
     # excluded channels until exactly `rank`
     dist = jnp.abs(s["last_supports"] - lbound)          # bottom top-up
@@ -442,7 +448,7 @@ def _fused_search(G: jax.Array, b: jax.Array, N: jax.Array, rank: int,
                                       - rbound))          # top fallback
     ni2 = jnp.argmin(dist2)
     near_mask2 = support_mask(s["last_betas"][ni2])
-    short = rank - jnp.sum(near_mask).astype(jnp.int32)
+    short = lbound - jnp.sum(near_mask).astype(jnp.int32)
     energy = jnp.where(near_mask, -jnp.inf, diag.astype(jnp.float32))
     epos = jnp.argsort(jnp.argsort(-energy))
     topped = near_mask | (epos < short)

@@ -44,7 +44,7 @@ def _device_rel_error(Xd, W, b, Yd):
     return jnp.sqrt(num) / jnp.sqrt(den + 1e-30)
 
 @functools.partial(jax.jit, static_argnames=(
-    "rank", "rank_tol", "alpha0", "grid_size", "max_rounds", "n_sweeps",
+    "rank_tol", "alpha0", "grid_size", "max_rounds", "n_sweeps",
     "prefer", "ridge"))
 @f32_matmuls
 def _fused_layer_solve(Xd, W2d, Yd, rows, rank, rank_tol, alpha0,
@@ -54,6 +54,8 @@ def _fused_layer_solve(Xd, W2d, Yd, rows, rank, rank_tol, alpha0,
     (ops/lasso._fused_search, itself a lax.while_loop), masked full-width
     least-squares reconstruction on all N rows, and rMSE-after. One
     dispatch, one host fetch — the host-stepped path costs ~15-25.
+    `rank` is a device scalar so every same-shaped layer reuses ONE
+    compiled program (the keep target is the only per-layer variation).
 
     The reconstruction masks excluded channels' columns to zero instead of
     gathering survivors: zeroed columns produce exactly-zero rows in the
@@ -159,8 +161,8 @@ def select_and_reconstruct(X: np.ndarray, W2: np.ndarray, Y: np.ndarray,
         rows = np.random.default_rng(seed).integers(0, N, size=n_sub)
         out = _fused_layer_solve(
             Xd, jnp.asarray(W2, jnp.float32), Yd, jnp.asarray(rows),
-            rank, float(rank_tol), float(alpha0), grid_size, max_rounds,
-            n_sweeps, prefer, float(ridge))
+            jnp.int32(rank), float(rank_tol), float(alpha0), grid_size,
+            max_rounds, n_sweeps, prefer, float(ridge))
         keep = np.asarray(out[0])
         if keep.sum() > 0:
             return PruneResult(
