@@ -279,13 +279,166 @@ def _residual_context(g_run: Graph, consumer_top: str):
     return None, ()
 
 
+class _PipelineDegenerate(RuntimeError):
+    """The async pipelined pass hit a layer the fused solve cannot serve
+    (empty selection needing the magnitude fallback); the caller restarts
+    the solve on the sequential path."""
+
+
+def _pipelined_conv_pass(g_run: Graph, p_run, dev_run, g_out, p_out,
+                         selections, reports, cache: sampling.FrozenCache,
+                         cfg: Config, channel_targets, roll, checkpoint,
+                         resume_i: int, verbose: bool):
+    """Async-pipelined chain conv pass (VERDICT r3 #5): the per-layer device
+    chain — frontier advance → patch gather → fused whole-layer solve — is
+    dispatched WITHOUT any host synchronisation between layers:
+
+      * every layer's solve is zero-padded to one (c_pad, n_pad) bucket per
+        kernel-size class, so the whole model shares ONE compiled fused-solve
+        program per class (the from-scratch VGG-16 run previously paid 7
+        fused-solve compiles of 10-37 s each — the dominant cost of a cold
+        solve phase). Zero-padded channels are arithmetically inert: the CD
+        kernel guards zero diagonals (kernels/lasso_cd.py:46), appended zero
+        Gram rows/columns never enter the support or perturb the real block's
+        Cholesky elimination, and the trim/top-up tie-breaks are stable
+        argsorts that prefer lower (real) indices — selections are identical
+        to the unpadded sequential pass (tests/test_pipeline.py pins this);
+      * the running weights are updated DEVICE-to-DEVICE from the fused
+        solve's full-width masked reconstruction (`Wfull` IS the
+        zero-scattered running weight `_scatter_inputs` builds on host), so
+        the next layer's frontier advance enqueues behind the solve with no
+        d2h fetch, host scatter, or h2d re-upload on the critical path;
+      * host-side bookkeeping (report fetch, output-graph surgery,
+        checkpointing) trails ONE layer behind the device queue, overlapping
+        the d2h of layer i's weights with layer i+1's compute.
+
+    Matches the reference's per-layer semantics exactly (asymmetric
+    accumulated error, lib/net.py:1333-1337): the frontier advances through
+    layer i with its RECONSTRUCTED weights before layer i+1 samples.
+    Raises _PipelineDegenerate when a layer needs the magnitude fallback.
+    """
+    import collections
+
+    from channel_pruning_tpu.pipeline.prune import (PruneResult,
+                                                    _fused_layer_solve)
+    from channel_pruning_tpu.utils import runtime
+
+    convs = list(g_run.convs)
+    items = []
+    for i, consumer in enumerate(convs):
+        if i <= resume_i or i == 0:
+            continue
+        bottom = g_run.layer(consumer).bottoms[0]
+        producer = prune_mod.producer_conv(g_run, bottom, before=consumer)
+        target = channel_targets.get(producer) if producer else None
+        if target is None:
+            continue
+        n_in = p_run[consumer]["W"].shape[1]
+        if target >= n_in:
+            continue
+        items.append((i, consumer, bottom, int(target)))
+    if not items:
+        return g_out, p_out, dev_run
+
+    # one (c_pad, n_pad) bucket per kernel-size class -> one compile each
+    geos = {c: g_run.layer(c).conv_geometry() for _, c, _, _ in items}
+    classes: dict[tuple[int, int], list[int]] = {}
+    for _, consumer, _, _ in items:
+        geo = geos[consumer]
+        cls = classes.setdefault((geo["kh"], geo["kw"]), [0, 0])
+        cls[0] = max(cls[0], p_run[consumer]["W"].shape[1])
+        cls[1] = max(cls[1], p_run[consumer]["W"].shape[0])
+
+    top0 = g_run.layer(items[0][1]).tops[0]
+    N = int(np.asarray(cache.feats[top0]).shape[0])
+    n_sub = min(cfg.lasso.subsample_rows, max(N // 20, 1))
+    rows = np.random.default_rng(cfg.sample.seed).integers(0, N, size=n_sub)
+    rows_d = jnp.asarray(rows)
+
+    feats_dev: dict[str, jnp.ndarray] = {}
+    pending: collections.deque = collections.deque()
+
+    def drain_one():
+        nonlocal g_out, p_out
+        i, consumer, out, n_in, n_out, t0 = pending.popleft()
+        keep = np.asarray(out[0])[:n_in]
+        if keep.sum() == 0:
+            raise _PipelineDegenerate(
+                f"{consumer}: empty fused selection (magnitude fallback "
+                f"needed)")
+        Wfull = np.asarray(out[3], np.float32)[:n_out, :n_in]
+        b = np.asarray(out[4], np.float32)[:n_out]
+        res = PruneResult(keep=keep.astype(bool), W=Wfull[:, keep.astype(bool)],
+                          b=b, alpha=float(out[1]),
+                          rmse_before=float(out[5]), rmse_after=float(out[6]))
+        p_run[consumer]["W"] = Wfull      # == _scatter_inputs(res.W, keep)
+        p_run[consumer]["b"] = b
+        g_out, p_out = prune_mod.apply_pruning(g_out, p_out, consumer, res,
+                                               shrink_producer=True)
+        selections[consumer] = res.keep
+        dt = time.perf_counter() - t0
+        reports.append(LayerReport(
+            conv=consumer, kept=int(res.keep.sum()), total=int(n_in),
+            alpha=res.alpha, rmse_before=res.rmse_before,
+            rmse_after=res.rmse_after, seconds=dt))
+        if verbose:
+            print(f"[prune] {consumer}: keep {int(res.keep.sum())}/{n_in} "
+                  f"rMSE {res.rmse_before:.4f}->{res.rmse_after:.4f} "
+                  f"({dt:.2f}s pipelined)")
+        if checkpoint is not None:
+            checkpoint.maybe_save(i, {"p_run": p_run, "g_out": g_out,
+                                      "p_out": p_out,
+                                      "selections": selections,
+                                      "reports": reports,
+                                      "frontier_fallbacks": []})
+
+    for i, consumer, bottom, target in items:
+        runtime.heartbeat()
+        t0 = time.perf_counter()
+        roll.advance_to(dev_run, bottom)
+        X = roll.patches_at(cache.plan, consumer).astype(jnp.float32)
+        top = g_run.layer(consumer).tops[0]
+        if top not in feats_dev:
+            feats_dev[top] = runtime.chunked_device_put(
+                np.asarray(cache.feats[top], np.float32))
+        n_in = p_run[consumer]["W"].shape[1]
+        n_out = p_run[consumer]["W"].shape[0]
+        geo = geos[consumer]
+        c_pad, n_pad = classes[(geo["kh"], geo["kw"])]
+        W2d = jnp.asarray(dev_run[consumer]["W"], jnp.float32)
+        b2d = dev_run[consumer].get("b")
+        b2d = (jnp.asarray(b2d, jnp.float32) if b2d is not None
+               else jnp.zeros((n_out,), jnp.float32))
+        Yd = feats_dev[top] - b2d[None, :]
+        if n_in < c_pad:
+            X = jnp.pad(X, ((0, 0), (0, c_pad - n_in), (0, 0), (0, 0)))
+            W2d = jnp.pad(W2d, ((0, 0), (0, c_pad - n_in), (0, 0), (0, 0)))
+        if n_out < n_pad:
+            W2d = jnp.pad(W2d, ((0, n_pad - n_out), (0, 0), (0, 0), (0, 0)))
+            Yd = jnp.pad(Yd, ((0, 0), (0, n_pad - n_out)))
+        out = _fused_layer_solve(
+            X, W2d, Yd, rows_d, jnp.int32(target), float(cfg.dic.rank_tol),
+            float(cfg.solve.alpha), cfg.lasso.grid_size, cfg.lasso.max_rounds,
+            cfg.lasso.n_sweeps, cfg.solve.band, float(cfg.solve.ls_ridge))
+        # device-to-device running update: NO host sync before the next
+        # layer's frontier advance
+        dev_run = dict(dev_run)
+        dev_run[consumer] = {"W": out[3][:n_out, :n_in], "b": out[4][:n_out]}
+        pending.append((i, consumer, out, n_in, n_out, t0))
+        while len(pending) > 1:
+            drain_one()
+    while pending:
+        drain_one()
+    return g_out, p_out, dev_run
+
+
 def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                 cache: sampling.FrozenCache, cfg: Config,
                 channel_targets: Mapping[str, int] | None = None,
                 input_targets: Mapping[str, int] | None = None,
                 residual_compensate: bool = True,
                 checkpoint=None, mesh=None,
-                verbose: bool = True) -> SolveResult:
+                verbose: bool = True, _no_pipeline: bool = False) -> SolveResult:
     """Sequential whole-model channel pruning (reference R3's pruning arm,
     per-layer loop net.py:1406-1459).
 
@@ -327,13 +480,41 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
     cdt = None if cfg.solve.dtype == "float32" else cfg.solve.dtype
     # device-resident running params, updated INCREMENTALLY per layer —
     # re-uploading the whole pytree each layer would move ~0.5 GB/layer for
-    # VGG-16 over the host<->TPU link
-    dev_run = to_device_params(p_run)
+    # VGG-16 over the host<->TPU link. With fitfc off the replay never runs
+    # the FC stack, so fc6/7/8 (~470 MB of VGG-16's 528 MB) stay off the
+    # link entirely — mirroring the freeze-side skip (freeze_tensor_set)
+    dev_src = p_run
+    if not (cfg.dic.fitfc and channel_targets):
+        fcs = set(g_run.fcs)
+        dev_src = {k: v for k, v in p_run.items() if k not in fcs}
+    dev_run = to_device_params(dev_src)
     feats_dev: dict[str, jnp.ndarray] = {}  # ground-truth targets, uploaded once
     roll = _maybe_rolling(g_run, cache, cdt, mesh=mesh)
 
     convs = list(g_run.convs)
+    skip_convs = False
+    if (not _no_pipeline and roll is not None
+            and isinstance(roll, rolling_mod.RollingReplay)
+            and cfg.solve.fused_search and mesh is None
+            and input_targets is None and channel_targets):
+        try:
+            g_out, p_out, dev_run = _pipelined_conv_pass(
+                g_run, p_run, dev_run, g_out, p_out, selections, reports,
+                cache, cfg, channel_targets, roll, checkpoint, resume_i,
+                verbose)
+            skip_convs = True
+        except _PipelineDegenerate as exc:
+            print(f"[pipeline] {exc}; restarting on the sequential path")
+            roll = dev_run = None  # release the frontier before rebuilding
+            return solve_prune(graph, params, cache, cfg,
+                               channel_targets=channel_targets,
+                               input_targets=input_targets,
+                               residual_compensate=residual_compensate,
+                               checkpoint=checkpoint, mesh=mesh,
+                               verbose=verbose, _no_pipeline=True)
     for i, consumer in enumerate(convs):
+        if skip_convs:
+            break
         if i <= resume_i:
             continue
         bottom = g_run.layer(consumer).bottoms[0]

@@ -8,6 +8,7 @@ import pytest
 from channel_pruning_tpu import cli
 
 
+@pytest.mark.slow
 def test_cli_prune_combine_flop_roundtrip(tmp_path):
     wd = str(tmp_path)
     cli.main(["prune", "--model", "tiny_vgg", "--mode", "3c", "--batch", "4",

@@ -85,6 +85,7 @@ def test_plan_uniform_targets_hits_ratio():
     assert sum(targets.values()) < sum(naive[k] for k in targets)
 
 
+@pytest.mark.slow
 def test_xception_depthwise_joint_shrink():
     """channel_targets on a depthwise producer physically shrink the dw conv
     (rows + group) AND its upstream pointwise conv — not just a gate

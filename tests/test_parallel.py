@@ -62,6 +62,7 @@ def test_sharded_freeze_matches_single_device(mesh):
         np.testing.assert_array_equal(c_single.feats[t], c_mesh.feats[t]), t
 
 
+@pytest.mark.slow
 def test_solve_prune_on_mesh_matches_single_device(mesh):
     """solve_prune with the solver reductions sharded over the mesh must
     reproduce the single-device channel selections exactly (VERDICT r1 #5:
@@ -271,6 +272,7 @@ def test_mesh_sample_patches_matches_single_device(mesh):
     np.testing.assert_array_equal(np.asarray(X_solo), np.asarray(X_mesh))
 
 
+@pytest.mark.slow
 def test_dp_finetune_full_schedule_parity(mesh, tmp_path):
     """VERDICT r2 #7: the data-parallel finetune run for a FULL 400-step
     schedule (lr step decay, snapshots, eval) on the 8-device mesh must

@@ -85,6 +85,7 @@ def test_solve_prune_end_to_end(setup):
     assert err_lasso < err_base, (err_lasso, err_base)
 
 
+@pytest.mark.slow
 def test_solve_3c_end_to_end(setup):
     g, params, inputs, cfg, cache = setup
     ranks = {"conv1_2": 6, "conv2_1": 9, "conv2_2": 9, "conv3_1": 12,
@@ -129,6 +130,60 @@ def test_solve_prune_bottom_band_exact_structure(setup):
     for prod, t in targets.items():
         assert res.params[prod]["W"].shape[0] == t, (
             prod, res.params[prod]["W"].shape[0], t)
+
+
+def test_pipelined_pass_matches_sequential(setup):
+    """The async pipelined chain pass (padded one-bucket fused solves,
+    device-to-device running updates, deferred host fetches) selects the
+    SAME channels as the sequential per-layer pass — zero-padding is
+    arithmetically inert through the CD kernel and the search epilogue
+    (c3._pipelined_conv_pass docstring). Reconstructed weights agree to fp
+    reduction-order tolerance (XLA tiles the padded matmuls differently)."""
+    g, params, inputs, cfg, cache = setup
+    targets = {"conv1_1": 5, "conv1_2": 6, "conv2_1": 8, "conv2_2": 9,
+               "conv3_1": 10}
+    cfg2 = cfg.replace_nested("solve.band", "bottom")
+    piped = c3.solve_prune(g, params, cache, cfg2, channel_targets=targets,
+                           verbose=False)
+    seq = c3.solve_prune(g, params, cache, cfg2, channel_targets=targets,
+                         verbose=False, _no_pipeline=True)
+    assert set(piped.selections) == set(seq.selections)
+    for name in seq.selections:
+        np.testing.assert_array_equal(piped.selections[name],
+                                      seq.selections[name]), name
+    for name in seq.selections:
+        np.testing.assert_allclose(piped.params[name]["W"],
+                                   seq.params[name]["W"],
+                                   rtol=1e-2, atol=1e-4)
+    for pr, sr in zip(piped.reports, seq.reports):
+        assert pr.conv == sr.conv
+        np.testing.assert_allclose(pr.rmse_after, sr.rmse_after, rtol=1e-4)
+
+
+def test_pipelined_degenerate_falls_back(setup, monkeypatch):
+    """A layer whose fused selection comes back empty aborts the pipelined
+    pass and restarts the whole solve on the sequential path (which has the
+    magnitude fallback) — the result is still well-formed."""
+    g, params, inputs, cfg, cache = setup
+    targets = {"conv1_1": 5, "conv1_2": 6}
+    from channel_pruning_tpu.pipeline import prune as P
+    real = P._fused_layer_solve
+    calls = {"n": 0}
+
+    def sabotaged(Xd, W2d, Yd, rows, rank, *a, **kw):
+        out = real(Xd, W2d, Yd, rows, rank, *a, **kw)
+        calls["n"] += 1
+        import jax.numpy as jnp
+        return (jnp.zeros_like(out[0]),) + tuple(out[1:])
+
+    monkeypatch.setattr(c3, "_fused_layer_solve", sabotaged, raising=False)
+    import channel_pruning_tpu.pipeline.prune as prune_pkg
+    monkeypatch.setattr(prune_pkg, "_fused_layer_solve", sabotaged)
+    res = c3.solve_prune(g, params, cache, cfg, channel_targets=targets,
+                         verbose=False)
+    res.graph.validate()
+    assert calls["n"] >= 1            # the pipelined attempt ran and aborted
+    assert len(res.selections) == 2   # sequential fallback completed
 
 
 def test_ranks_for_speed():
@@ -192,22 +247,32 @@ def test_solve_checkpoint_resume(setup, tmp_path):
                          verbose=False)
 
     ck = SolveCheckpoint(tmp_path / "state.pkl", every=1)
-    orig = P.select_and_reconstruct
+    orig_sr = P.select_and_reconstruct
+    orig_fl = P._fused_layer_solve
     calls = {"n": 0}
 
-    def crashing(*a, **k):
+    def _tick():
         calls["n"] += 1
         if calls["n"] == 3:
             raise RuntimeError("simulated TPU worker crash")
-        return orig(*a, **k)
 
-    P.select_and_reconstruct = crashing
+    def crashing_sr(*a, **k):
+        _tick()
+        return orig_sr(*a, **k)
+
+    def crashing_fl(*a, **k):
+        _tick()  # per-layer dispatch in the pipelined pass
+        return orig_fl(*a, **k)
+
+    P.select_and_reconstruct = crashing_sr
+    P._fused_layer_solve = crashing_fl
     try:
         with pytest.raises(RuntimeError):
             c3.solve_prune(g, params, cache, cfg, channel_targets=targets,
                            checkpoint=ck, verbose=False)
     finally:
-        P.select_and_reconstruct = orig
+        P.select_and_reconstruct = orig_sr
+        P._fused_layer_solve = orig_fl
     assert (tmp_path / "state.pkl").exists()
 
     resumed = c3.solve_prune(g, params, cache, cfg, channel_targets=targets,

@@ -43,6 +43,7 @@ def _tiny(name):
     ("vgg", 2.0), ("resnet", 1.5), ("xception", 1.5),
     ("frcnn", 2.0), ("cifar", 1.5),
 ])
+@pytest.mark.slow
 def test_planner_matches_measured_ratio(family, speed):
     g0, p0 = _tiny(family)
     g, p = c3.preprocess(g0, p0)

@@ -50,6 +50,7 @@ def test_residual_points_shared(setup):
             np.testing.assert_array_equal(cache.plan[t][1], xs0)
 
 
+@pytest.mark.slow
 def test_resnet_prune_end_to_end(setup):
     _, _, g, p, inputs, cfg, cache = setup
     # shrink branch2a/2b widths; gate every block input ahead of branch2a

@@ -488,6 +488,7 @@ def test_selection_iou_vs_sklearn_at_c256(rng):
     assert iou >= 0.95, (iou, int(keep.sum()), sk_kept)
 
 
+@pytest.mark.slow
 def test_fused_search_matches_host_path():
     """ops/lasso._fused_search (whole alpha search as ONE lax.while_loop
     program) must reproduce the host-stepped search_alpha: same support
