@@ -94,8 +94,18 @@ def vh_decompose(W: jax.Array, rank: int, X: jax.Array | None = None,
                         V[..., 0].astype(jnp.float32))
         # layout (rank, kw) row-major per sample, matching H's (r, 1, kw) axes
         Xflat = jnp.transpose(Xv, (0, 2, 1)).reshape(X.shape[0], rank * kw)
+        # bucket-pad the ALS design columns to a rank multiple of 64 so the
+        # jitted nonlinear_fit compiles once per bucket instead of once per
+        # distinct layer rank (appended zero columns take exactly-zero
+        # coefficients under lstsq.factor's jitter ridge — the same contract
+        # fit_linear's bucketed reconstruction relies on)
+        rank_pad = -(-rank // 64) * 64
+        if rank_pad > rank:
+            Xflat = jnp.concatenate(
+                [Xflat, jnp.zeros((X.shape[0], (rank_pad - rank) * kw),
+                                  Xflat.dtype)], axis=1)
         Wh, b = nonlinear_fit(Xflat, Y.astype(jnp.float32), lambdas, iters)
-        H = Wh.reshape(n, rank, 1, kw)
+        H = Wh.reshape(n, rank_pad, 1, kw)[:, :rank]
         Hk = jnp.transpose(H[:, :, 0, :], (1, 0, 2)).reshape(rank, n * kw)
     else:
         H = jnp.transpose(Hk.reshape(rank, n, kw, 1), (1, 0, 3, 2))
@@ -170,16 +180,25 @@ def _itq_step_b(G: jax.Array, M: jax.Array, Vk: jax.Array, U_mean: jax.Array,
     return T, U - U_mean2, U_mean2
 
 
-@functools.partial(jax.jit, static_argnames=("rank", "lambdas", "iters"))
+@functools.partial(jax.jit, static_argnames=("lambdas", "iters"))
 @f32_matmuls
-def _itq_loop_device(G, GtG, PG, Z, Y_mean, rank: int,
+def _itq_loop_device(G, GtG, PG, Z, Y_mean, rank,
                      lambdas: tuple[float, ...], iters: tuple[int, ...]):
     """The whole ITQ alternating schedule as ONE device program: eigh runs
     on-chip inside a fori_loop, so a 50-iteration solve costs one dispatch
     instead of ~100 host<->device round-trips over the tunnel (~10 s/layer
     saved at VGG scale). Tracks the last finite (T, U_mean) so a diverging
-    tail can be salvaged exactly like the host path."""
+    tail can be salvaged exactly like the host path.
+
+    `rank` is a TRACED device scalar: the rank truncation is applied as an
+    eigenvector mask (V diag(m) Vᵀ, m = top-`rank` positions) instead of a
+    static column slice, so every layer of the same width d shares ONE
+    compiled program. With rank static, each distinct layer rank recompiled
+    this eigh-in-loop program (~20 s compile at d=512) — 12 compiles per 3C
+    run dominated its decomposition wall. The loop body itself runs in
+    ~11 ms/iteration at d=512."""
     d = G.shape[1]
+    sel = jnp.arange(d) >= d - jnp.asarray(rank, jnp.int32)
 
     def one_iter(carry, lam):
         UU, U_mean, T_good, Um_good, ok = carry
@@ -189,8 +208,8 @@ def _itq_loop_device(G, GtG, PG, Z, Y_mean, rank: int,
         XtX = 0.5 * (XtX + XtX.T)
         finite_in = jnp.isfinite(XtX).all()
         _, v = jnp.linalg.eigh(jnp.where(finite_in, XtX, jnp.eye(d)))
-        Vk = v[:, -rank:]
-        T = M @ Vk @ Vk.T
+        # top-rank projector V diag(sel) Vᵀ (eigh orders ascending)
+        T = M @ ((v * sel.astype(v.dtype)) @ v.T)
         RU = G @ T + U_mean
         U = lstsq.solve_relu(RU, Z, lam)
         U_mean2 = jnp.mean(U, axis=0)

@@ -44,7 +44,6 @@ from channel_pruning_tpu.graph import rewrite
 from channel_pruning_tpu.graph.ir import Graph, LT
 from channel_pruning_tpu.ops import lowrank
 from channel_pruning_tpu.ops.forward import to_device_params
-from channel_pruning_tpu.ops.oracle import rel_error
 from channel_pruning_tpu.pipeline import prune as prune_mod
 from channel_pruning_tpu.sampling import rolling as rolling_mod
 from channel_pruning_tpu.sampling import sampler as sampling
@@ -266,6 +265,40 @@ def _epscheck(*arrays, warn: float = 1e2, reject: float = 1e4) -> bool:
         return False
     if worst > warn:
         print(f"[epscheck] factor magnitude {worst:.1e} exceeds {warn:.0e}")
+    return True
+
+
+@jax.jit
+def _relu_rel_error(gt, pred):
+    """rel_error(relu(gt), relu(pred)) on device — only the scalar crosses
+    the link (the 3C telemetry previously fetched two (N, n) response
+    matrices per layer)."""
+    g = jnp.maximum(gt.astype(jnp.float32), 0.0)
+    p = jnp.maximum(pred.astype(jnp.float32), 0.0)
+    return jnp.sqrt(jnp.mean((g - p) ** 2)) / \
+        jnp.sqrt(jnp.mean(g ** 2) + 1e-30)
+
+
+@jax.jit
+def _absmax_finite(x):
+    """max|x| and its finiteness as device scalars (NaN/Inf propagate
+    through the max) — the device-side epscheck probe."""
+    ax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    return ax, jnp.isfinite(ax)
+
+
+def _epscheck_device(x, warn: float = 1e2, reject: float = 1e4) -> bool:
+    """_epscheck semantics with the reduction on device: only two scalars
+    cross the link instead of the whole array (the 3C input probe used to
+    fetch the ~92 MB patch matrix per layer just to take |max|)."""
+    ax, fin = _absmax_finite(jnp.asarray(x))
+    if not bool(fin):
+        return False
+    ax = float(ax)
+    if ax > reject:
+        return False
+    if ax > warn:
+        print(f"[epscheck] factor magnitude {ax:.1e} exceeds {warn:.0e}")
     return True
 
 
@@ -753,6 +786,17 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
     dev_run = to_device_params(p_run)   # incremental device copy (see solve_prune)
     feats_dev: dict[str, jnp.ndarray] = {}  # ground-truth targets, uploaded once
     roll = _maybe_rolling(g_run, cache, cdt, mesh=mesh)
+    # shared fused-solve pad bucket per kernel-size class for the pruning
+    # arm (same trick as the pipelined chain pass): the 3C consumers are
+    # original-shape convs, so on VGG-16 all 11 arm solves ride the ONE
+    # (512, 512, 3x3) compiled program the 5x pipeline also uses
+    pad_buckets: dict[tuple[int, int], list[int]] = {}
+    for _c in convs:
+        _g = g_run.layer(_c).conv_geometry()
+        _w = p_run[_c]["W"].shape
+        _b = pad_buckets.setdefault((_g["kh"], _g["kw"]), [0, 0])
+        _b[0] = max(_b[0], _w[1])
+        _b[1] = max(_b[1], _w[0])
 
     def _sync(name: str) -> None:
         nonlocal dev_run
@@ -773,6 +817,7 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                            np.float32)
         n_out, c_full, kh, kw = W_cur.shape
         Ygt = cache.feats[top]                       # full response incl bias
+        Ygt_d = jnp.asarray(np.asarray(Ygt, np.float32))   # device, once
         timer.tic()
 
         # ---- (a) spatial decomposition --------------------------------
@@ -788,7 +833,7 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             X = sampling.sample_patches(g_run, dev_run, cache.inputs, conv,
                                         cache.plan, chunk_batches=chunk,
                                         compute_dtype=cdt, mesh=mesh)
-        if not _epscheck(X, warn=1e5, reject=1e6):
+        if not _epscheck_device(X, warn=1e5, reject=1e6):
             # extreme accumulated activations would fault the device
             # eigh/SVD kernels — keep the layer untouched
             print(f"[3c] {conv}: inputs rejected by epscheck — layer kept")
@@ -797,7 +842,7 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                                        seconds=timer.toc()))
             continue
         try:
-            vh = lowrank.vh_decompose(W_cur, rank, X=X, Y=Ygt,
+            vh = lowrank.vh_decompose(W_cur, rank, X=X, Y=Ygt_d,
                                       lambdas=cfg.solve.nonlinear_lambdas,
                                       iters=cfg.solve.nonlinear_iters)
         except np.linalg.LinAlgError as exc:
@@ -823,14 +868,15 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         timer.tic()
         # the post-VH responses at the sampled points are exactly the
         # already-extracted patches convolved with VHr — no replay needed
-        # (the reference re-runs a 500-batch extraction here, net.py:1386)
+        # (the reference re-runs a 500-batch extraction here, net.py:1386).
+        # feat and the ground truth stay DEVICE-resident: the ITQ ALS runs
+        # on device anyway, and only scalar telemetry crosses the link
         with jax.default_matmul_precision("float32"):
-            feat = np.asarray(
-                jnp.einsum("nchw,ochw->no", jnp.asarray(X, jnp.float32),
-                           jnp.asarray(vh.VHr)) + jnp.asarray(vh.b))
-        if _epscheck(feat, warn=1e5, reject=1e6):
+            feat = jnp.einsum("nchw,ochw->no", jnp.asarray(X, jnp.float32),
+                              jnp.asarray(vh.VHr)) + jnp.asarray(vh.b)
+        if _epscheck_device(feat, warn=1e5, reject=1e6):
             try:
-                itq = lowrank.itq_decompose(feat, Ygt, np.asarray(vh.H), rank,
+                itq = lowrank.itq_decompose(feat, Ygt_d, np.asarray(vh.H), rank,
                                             bias=np.asarray(vh.b),
                                             Wr=np.asarray(vh.VHr),
                                             lambdas=cfg.solve.itq_lambdas,
@@ -853,14 +899,13 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         # responses, VH-only vs final (VH+ITQ when it held) — the measured
         # "3C beats spatial-only" evidence (reference prints the analogous
         # Reconstruction Err inside ITQ, decompose.py:202)
-        relu_gt = np.maximum(np.asarray(Ygt, np.float32), 0.0)
-        rmse_vh = float(rel_error(relu_gt, np.maximum(feat, 0.0)))
+        rmse_vh = float(_relu_rel_error(Ygt_d, feat))
         if itq_ok:
             with jax.default_matmul_precision("float32"):
-                feat2 = np.asarray(
-                    jnp.einsum("nchw,ochw->no", jnp.asarray(X, jnp.float32),
-                               jnp.asarray(itq.W12)) + jnp.asarray(itq.B))
-            rmse_final = float(rel_error(relu_gt, np.maximum(feat2, 0.0)))
+                feat2 = jnp.einsum("nchw,ochw->no",
+                                   jnp.asarray(X, jnp.float32),
+                                   jnp.asarray(itq.W12)) + jnp.asarray(itq.B)
+            rmse_final = float(_relu_rel_error(Ygt_d, feat2))
         else:
             rmse_final = rmse_vh
         t_channel = timer.toc()
@@ -926,7 +971,10 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                 n_sweeps=cfg.lasso.n_sweeps, grid_size=cfg.lasso.grid_size,
                 max_rounds=cfg.lasso.max_rounds, ridge=cfg.solve.ls_ridge,
                 seed=cfg.sample.seed, mesh=mesh, group=cfg.dic.grplasso,
-                prefer=cfg.solve.band, fused=cfg.solve.fused_search)
+                prefer=cfg.solve.band, fused=cfg.solve.fused_search,
+                pad_to=tuple(pad_buckets[(
+                    g_run.layer(convnext).conv_geometry()["kh"],
+                    g_run.layer(convnext).conv_geometry()["kw"])]))
             t_prune = timer.toc()
             p_run[convnext]["W"] = _scatter_inputs(res.W, res.keep)
             p_run[convnext]["b"] = res.b

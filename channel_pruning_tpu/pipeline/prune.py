@@ -126,7 +126,8 @@ def select_and_reconstruct(X: np.ndarray, W2: np.ndarray, Y: np.ndarray,
                            seed: int = 0, group: bool = False,
                            alter_iters: int = 0, mesh=None,
                            prefer: str = "top",
-                           fused: bool = False) -> PruneResult:
+                           fused: bool = False,
+                           pad_to: tuple[int, int] | None = None) -> PruneResult:
     """One layer's LASSO selection + lstsq reconstruction.
 
     X: (N, c, kh, kw) consumer input patches (current net),
@@ -159,15 +160,31 @@ def select_and_reconstruct(X: np.ndarray, W2: np.ndarray, Y: np.ndarray,
         _hb()
         n_sub = min(subsample, max(N // 20, 1))
         rows = np.random.default_rng(seed).integers(0, N, size=n_sub)
+        Xp, Yp = Xd, Yd
+        W2p = jnp.asarray(W2, jnp.float32)
+        n_out = W2p.shape[0]
+        if pad_to is not None:
+            # zero-pad to a shared (c_pad, n_pad) bucket so same-kernel
+            # layers reuse ONE compiled fused-solve program (padding is
+            # selection-inert — see c3._pipelined_conv_pass docstring).
+            # Padded locals only: the degenerate fall-through below resumes
+            # on the unpadded Xd/Yd
+            c_pad, n_pad = max(pad_to[0], c), max(pad_to[1], n_out)
+            if c < c_pad:
+                Xp = jnp.pad(Xp, ((0, 0), (0, c_pad - c), (0, 0), (0, 0)))
+                W2p = jnp.pad(W2p, ((0, 0), (0, c_pad - c), (0, 0), (0, 0)))
+            if n_out < n_pad:
+                W2p = jnp.pad(W2p, ((0, n_pad - n_out), (0, 0), (0, 0), (0, 0)))
+                Yp = jnp.pad(Yp, ((0, 0), (0, n_pad - n_out)))
         out = _fused_layer_solve(
-            Xd, jnp.asarray(W2, jnp.float32), Yd, jnp.asarray(rows),
+            Xp, W2p, Yp, jnp.asarray(rows),
             jnp.int32(rank), float(rank_tol), float(alpha0), grid_size,
             max_rounds, n_sweeps, prefer, float(ridge))
-        keep = np.asarray(out[0])
+        keep = np.asarray(out[0])[:c]
         if keep.sum() > 0:
             return PruneResult(
-                keep=keep, W=np.asarray(out[3])[:, keep],
-                b=np.asarray(out[4]), alpha=float(out[1]),
+                keep=keep, W=np.asarray(out[3])[:n_out, :c][:, keep],
+                b=np.asarray(out[4])[:n_out], alpha=float(out[1]),
                 rmse_before=float(out[5]), rmse_after=float(out[6]))
         # degenerate (empty selection): fall through to the generic path's
         # magnitude fallback below

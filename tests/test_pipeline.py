@@ -160,6 +160,24 @@ def test_pipelined_pass_matches_sequential(setup):
         np.testing.assert_allclose(pr.rmse_after, sr.rmse_after, rtol=1e-4)
 
 
+def test_select_and_reconstruct_pad_to_inert():
+    """`pad_to` (the shared fused-solve bucket the 3C pruning arm uses)
+    must not change the selection, and the reconstruction must agree to fp
+    reduction-order tolerance."""
+    from channel_pruning_tpu.pipeline import prune
+    rng = np.random.default_rng(3)
+    N, c, n, k = 2000, 24, 40, 3
+    X = np.maximum(rng.normal(0, 1, (N, c, k, k)).astype(np.float32), 0)
+    W2 = (rng.normal(0, 1, (n, c, k, k)).astype(np.float32)) / (c * k)
+    Y = np.einsum("nchw,ochw->no", X, W2).astype(np.float32)
+    r1 = prune.select_and_reconstruct(X, W2, Y, 12, fused=True)
+    r2 = prune.select_and_reconstruct(X, W2, Y, 12, fused=True,
+                                      pad_to=(64, 64))
+    np.testing.assert_array_equal(r1.keep, r2.keep)
+    np.testing.assert_allclose(r1.W, r2.W, rtol=1e-2, atol=1e-4)
+    np.testing.assert_allclose(r1.rmse_after, r2.rmse_after, rtol=1e-4)
+
+
 def test_pipelined_degenerate_falls_back(setup, monkeypatch):
     """A layer whose fused selection comes back empty aborts the pipelined
     pass and restarts the whole solve on the sequential path (which has the
