@@ -545,6 +545,18 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                                residual_compensate=residual_compensate,
                                checkpoint=checkpoint, mesh=mesh,
                                verbose=verbose, _no_pipeline=True)
+    # shared fused-solve pad bucket per kernel-size class (compile-count
+    # discipline, see _pipelined_conv_pass): the sequential path — residual
+    # topologies like ResNet/Xception — otherwise compiles one fused-solve
+    # program per distinct (c, n) layer shape (~20 distinct shapes on
+    # ResNet-50, 10-30 s each on a cold cache)
+    pad_buckets: dict[tuple[int, int], list[int]] = {}
+    for _c in convs:
+        _g = g_run.layer(_c).conv_geometry()
+        _w = p_run[_c]["W"].shape
+        _b = pad_buckets.setdefault((_g["kh"], _g["kw"]), [0, 0])
+        _b[0] = max(_b[0], _w[1])
+        _b[1] = max(_b[1], _w[0])
     for i, consumer in enumerate(convs):
         if skip_convs:
             break
@@ -620,7 +632,10 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             grid_size=cfg.lasso.grid_size, max_rounds=cfg.lasso.max_rounds,
             ridge=cfg.solve.ls_ridge, seed=cfg.sample.seed, mesh=mesh,
             group=cfg.dic.grplasso, prefer=cfg.solve.band,
-            fused=cfg.solve.fused_search)
+            fused=cfg.solve.fused_search,
+            pad_to=tuple(pad_buckets[(
+                g_run.layer(consumer).conv_geometry()["kh"],
+                g_run.layer(consumer).conv_geometry()["kw"])]))
         dt = timer.toc()
         t_solve_s = time.perf_counter() - t_solve
 
@@ -818,6 +833,8 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         n_out, c_full, kh, kw = W_cur.shape
         Ygt = cache.feats[top]                       # full response incl bias
         Ygt_d = jnp.asarray(np.asarray(Ygt, np.float32))   # device, once
+        from channel_pruning_tpu.utils.runtime import heartbeat as _hb
+        _hb()  # per-layer watchdog progress mark (decompose stages)
         timer.tic()
 
         # ---- (a) spatial decomposition --------------------------------
