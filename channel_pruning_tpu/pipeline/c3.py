@@ -31,6 +31,7 @@ asymmetric reconstruction ordering (SURVEY.md §7 "hard parts").
 """
 from __future__ import annotations
 
+import functools
 import math
 import time
 from dataclasses import dataclass, field
@@ -465,6 +466,23 @@ def _pipelined_conv_pass(g_run: Graph, p_run, dev_run, g_out, p_out,
     return g_out, p_out, dev_run
 
 
+def _flush_checkpoint_on_error(fn):
+    """Checkpoint writes are async (checkpoint.SolveCheckpoint); a crash
+    escaping the solve driver must not outrun the in-flight snapshot —
+    join it before propagating so the resume contract (last completed
+    save is on disk) holds on every exception path."""
+    @functools.wraps(fn)
+    def wrapper(*args, checkpoint=None, **kwargs):
+        try:
+            return fn(*args, checkpoint=checkpoint, **kwargs)
+        except BaseException:
+            if checkpoint is not None:
+                checkpoint.wait()
+            raise
+    return wrapper
+
+
+@_flush_checkpoint_on_error
 def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                 cache: sampling.FrozenCache, cfg: Config,
                 channel_targets: Mapping[str, int] | None = None,
@@ -747,6 +765,7 @@ def ranks_for_speed(base_ranks: Mapping[str, int], speed_ratio: float,
     return out
 
 
+@_flush_checkpoint_on_error
 def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
              cache: sampling.FrozenCache, cfg: Config,
              ranks: Mapping[str, int], skip: tuple[str, ...] = ("conv1_1",),
