@@ -23,6 +23,7 @@ def test_cli_prune_combine_flop_roundtrip(tmp_path):
     assert (pathlib.Path(wd) / "cb_tiny_vgg.caffemodel").exists()
 
 
+@pytest.mark.slow
 def test_cli_prune_mode_prune_and_addbn(tmp_path):
     wd = str(tmp_path)
     cli.main(["prune", "--model", "tiny_vgg", "--mode", "prune", "--batch", "4",

@@ -134,6 +134,7 @@ def test_xception_depthwise_joint_shrink():
     np.testing.assert_allclose(np.asarray(outs["prob"]).sum(-1), 1.0, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_xception_prunes_pointwise():
     """Depthwise-separable nets go through the prune pipeline: pointwise
     conv inputs are prunable like any conv."""

@@ -136,6 +136,7 @@ def test_frontier_error_is_narrow(setup):
         dag.advance_to(devr, gr.layer(rconvs[1]).bottoms[0])
 
 
+@pytest.mark.slow
 def test_resnet_solve_uses_dag_rolling_equivalently():
     """tiny-resnet solve_prune (now on the DAG frontier) must agree with
     the full-replay path layer for layer."""

@@ -457,6 +457,7 @@ def test_grplasso_knob_routes_through_pipeline(rng):
     res.graph.validate()
 
 
+@pytest.mark.slow
 def test_band_endpoints_at_scale_c512(rng):
     """VERDICT r2 #9: at c=512 the band endpoints must hold — bottom returns
     EXACTLY `rank`; top lands in [rank, rank + tol*rank] at (or above) the
