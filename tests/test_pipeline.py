@@ -178,6 +178,38 @@ def test_select_and_reconstruct_pad_to_inert():
     np.testing.assert_allclose(r1.rmse_after, r2.rmse_after, rtol=1e-4)
 
 
+def test_one_compile_across_layer_ranks():
+    """Compile-count discipline (the round-4 perf pathology): the fused
+    layer solve and the ITQ device loop must share ONE compiled program
+    across different per-layer keep targets / ranks — a static rank
+    recompiled a 10-40 s program per layer while the program itself runs
+    in ms."""
+    import jax.numpy as jnp
+
+    from channel_pruning_tpu.ops import lowrank
+    from channel_pruning_tpu.pipeline import prune
+
+    rng = np.random.default_rng(0)
+    feat = rng.normal(size=(200, 16)).astype(np.float32)
+    gt = rng.normal(size=(200, 16)).astype(np.float32)
+    base_itq = lowrank._itq_loop_device._cache_size()
+    lowrank._itq_solve_T(feat, gt, 5, (0.1,), (2,))
+    lowrank._itq_solve_T(feat, gt, 9, (0.1,), (2,))
+    assert lowrank._itq_loop_device._cache_size() - base_itq <= 1
+
+    N, c, n, k = 500, 8, 12, 3
+    X = np.maximum(rng.normal(size=(N, c, k, k)).astype(np.float32), 0)
+    W2 = rng.normal(size=(n, c, k, k)).astype(np.float32) / (c * k)
+    Y = np.einsum("nchw,ochw->no", X, W2).astype(np.float32)
+    rows = jnp.asarray(rng.integers(0, N, size=25))
+    base_fl = prune._fused_layer_solve._cache_size()
+    for rank in (3, 5):
+        prune._fused_layer_solve(jnp.asarray(X), jnp.asarray(W2),
+                                 jnp.asarray(Y), rows, jnp.int32(rank),
+                                 0.1, 1e-3, 8, 4, 50, "top", 0.0)
+    assert prune._fused_layer_solve._cache_size() - base_fl <= 1
+
+
 def test_pipelined_degenerate_falls_back(setup, monkeypatch):
     """A layer whose fused selection comes back empty aborts the pipelined
     pass and restarts the whole solve on the sequential path (which has the
