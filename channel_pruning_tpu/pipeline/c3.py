@@ -322,7 +322,7 @@ class _PipelineDegenerate(RuntimeError):
 def _pipelined_conv_pass(g_run: Graph, p_run, dev_run, g_out, p_out,
                          selections, reports, cache: sampling.FrozenCache,
                          cfg: Config, channel_targets, roll, checkpoint,
-                         resume_i: int, verbose: bool):
+                         resume_i: int, verbose: bool, mesh=None):
     """Async-pipelined chain conv pass (VERDICT r3 #5): the per-layer device
     chain — frontier advance → patch gather → fused whole-layer solve — is
     dispatched WITHOUT any host synchronisation between layers:
@@ -389,6 +389,16 @@ def _pipelined_conv_pass(g_run: Graph, p_run, dev_run, g_out, p_out,
     rows = np.random.default_rng(cfg.sample.seed).integers(0, N, size=n_sub)
     rows_d = jnp.asarray(rows)
 
+    # with a mesh, pin the solver inputs row-sharded so GSPMD partitions the
+    # fused program's big reductions (Z/Gram/normal equations psum over ICI)
+    # instead of all-gathering X to every device — same SPMD plan as the
+    # sequential sharded path (parallel/sharded.py); selections are
+    # identical either way (dryrun_multichip asserts this)
+    row_sharded = None
+    if mesh is not None and mesh.devices.size > 1:
+        from channel_pruning_tpu.parallel import mesh as mesh_mod
+        row_sharded = mesh_mod.batch_sharded(mesh)
+
     feats_dev: dict[str, jnp.ndarray] = {}
     pending: collections.deque = collections.deque()
 
@@ -450,6 +460,9 @@ def _pipelined_conv_pass(g_run: Graph, p_run, dev_run, g_out, p_out,
         if n_out < n_pad:
             W2d = jnp.pad(W2d, ((0, n_pad - n_out), (0, 0), (0, 0), (0, 0)))
             Yd = jnp.pad(Yd, ((0, 0), (0, n_pad - n_out)))
+        if row_sharded is not None:
+            X = jax.device_put(X, row_sharded)
+            Yd = jax.device_put(Yd, row_sharded)
         out = _fused_layer_solve(
             X, W2d, Yd, rows_d, jnp.int32(target), float(cfg.dic.rank_tol),
             float(cfg.solve.alpha), cfg.lasso.grid_size, cfg.lasso.max_rounds,
@@ -546,13 +559,13 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
     skip_convs = False
     if (not _no_pipeline and roll is not None
             and isinstance(roll, rolling_mod.RollingReplay)
-            and cfg.solve.fused_search and mesh is None
+            and cfg.solve.fused_search
             and input_targets is None and channel_targets):
         try:
             g_out, p_out, dev_run = _pipelined_conv_pass(
                 g_run, p_run, dev_run, g_out, p_out, selections, reports,
                 cache, cfg, channel_targets, roll, checkpoint, resume_i,
-                verbose)
+                verbose, mesh=mesh)
             skip_convs = True
         except _PipelineDegenerate as exc:
             print(f"[pipeline] {exc}; restarting on the sequential path")
