@@ -82,10 +82,28 @@ def test_solve_prune_on_mesh_matches_single_device(mesh):
     targets = {c: max(2, int(g.layer(c).attr("num_output")) * 2 // 3)
                for c in list(g.convs)[:-1]}
     cfg = default_config()
-    res_mesh = c3.solve_prune(g, params, cache, cfg, channel_targets=targets,
-                              mesh=mesh, verbose=False)
-    res_solo = c3.solve_prune(g, params, cache, cfg, channel_targets=targets,
-                              verbose=False)
+    # the async-pipelined conv pass must actually be TAKEN under the mesh
+    # (round 4 lifted its mesh=None gate); a silent _PipelineDegenerate
+    # fallback to the sequential path would still pass the parity asserts
+    # below, so spy on the dispatch.
+    pipelined_meshes = []
+    orig_pass = c3._pipelined_conv_pass
+
+    def _spy(*args, **kwargs):
+        pipelined_meshes.append(kwargs.get("mesh"))
+        return orig_pass(*args, **kwargs)
+
+    c3._pipelined_conv_pass = _spy
+    try:
+        res_mesh = c3.solve_prune(g, params, cache, cfg,
+                                  channel_targets=targets,
+                                  mesh=mesh, verbose=False)
+        res_solo = c3.solve_prune(g, params, cache, cfg,
+                                  channel_targets=targets, verbose=False)
+    finally:
+        c3._pipelined_conv_pass = orig_pass
+    assert any(m is not None for m in pipelined_meshes), \
+        "mesh run fell back off the pipelined pass"
     assert set(res_mesh.selections) == set(res_solo.selections)
     for k in res_solo.selections:
         np.testing.assert_array_equal(res_mesh.selections[k],
