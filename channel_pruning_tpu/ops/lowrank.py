@@ -17,6 +17,8 @@ validated on reconstruction error, not factor equality (SURVEY.md §7).
 from __future__ import annotations
 
 import functools
+import os
+import time
 from typing import NamedTuple
 
 import jax
@@ -25,6 +27,22 @@ import numpy as np
 
 from channel_pruning_tpu.ops import lstsq
 from channel_pruning_tpu.ops.lstsq import f32_matmuls
+
+# see pipeline/c3._PHASE_TIMING: fenced sub-phase prints for attribution runs
+_PHASE_TIMING = os.environ.get("CP_TPU_PHASE_TIMING", "") == "1"
+
+
+def _tprint(tag: str, t0: float, *vals) -> float:
+    """When phase timing is on: fence `vals`, print `tag` with the elapsed
+    time since t0, and return a fresh t0. No-op (no fences) otherwise."""
+    if not _PHASE_TIMING:
+        return t0
+    for v in vals:
+        if v is not None:
+            jax.block_until_ready(v)
+    now = time.perf_counter()
+    print(f"[phase]   {tag}={now - t0:.2f}s", flush=True)
+    return now
 
 
 # ---------------------------------------------------------------------------
@@ -62,23 +80,111 @@ class VHResult(NamedTuple):
     H: jax.Array      # (n, rank, 1, kw) horizontal conv
     VHr: jax.Array    # (n, c, kh, kw) rank-limited reconstruction of W
     b: jax.Array | None  # refit bias when data given
+    # bucket-padded device-resident views (pad_to runs only): these let the
+    # 3C driver chain straight into the padded ITQ/telemetry programs with
+    # no per-layer-shape device ops (see _vh_refit_fused)
+    feat: jax.Array | None = None      # (N, n_pad) responses X ⊛ VHr + b
+    H_pad: jax.Array | None = None     # (n_pad, r_pad, 1, kw)
+    VHr_pad: jax.Array | None = None   # (n_pad, c_pad, kh, kw)
+    b_pad: jax.Array | None = None     # (n_pad,)
+
+
+@functools.partial(jax.jit, static_argnames=("lambdas", "iters"))
+@f32_matmuls
+def _vh_refit_fused(Xp: jax.Array, Vp: jax.Array, Yp: jax.Array,
+                    lambdas: tuple[float, ...], iters: tuple[int, ...]):
+    """The whole data-driven VH refit as ONE bucket-shaped program.
+
+    Every 3C layer is zero-padded to a shared (N, c_pad, kh, kw) /
+    (r_pad, c_pad, kh) / (N, n_pad) bucket, so the entire model compiles
+    this program ONCE — the eager per-layer-shape einsum/reshape chain it
+    replaces cost ~10 s of program build PER LAYER through the axon stack
+    (round-4 phase attribution: vh.project dominated the 3C wall while the
+    ALS math itself was <0.5 s/layer). Zero-pad correctness: padded V rows
+    give zero Xflat columns, which take exactly-zero coefficients under
+    lstsq.factor's trace-scaled jitter (trace is unchanged by zero
+    columns); padded Y columns give zero W rows and stay zero through
+    solve_relu (0 target, 0 prediction).
+
+    Returns (Wh, b, feat, H4, VHr) — all padded, device-resident; feat is
+    the post-VH response Xflat @ Whᵀ + b ≡ X ⊛ VHr + b, which the 3C
+    driver feeds straight to ITQ (the reference re-extracts 500 batches
+    here, net.py:1386).
+    """
+    N = Xp.shape[0]
+    r_pad, _, kh = Vp.shape
+    kw = Xp.shape[3]
+    Xv = jnp.einsum("nchp,rch->npr", Xp, Vp)
+    Xflat = jnp.transpose(Xv, (0, 2, 1)).reshape(N, r_pad * kw)
+    f = lstsq.factor(Xflat)
+    Z = jnp.maximum(Yp, 0.0)
+
+    def step(U, lam):
+        W, b = lstsq.solve(f, Xflat, U)
+        RU = Xflat @ W.T + b
+        return lstsq.solve_relu(RU, Z, lam)
+
+    U = Yp
+    for lam, n_it in zip(lambdas, iters):
+        U = jax.lax.fori_loop(0, n_it, lambda _, u: step(u, lam), U)
+    Wh, b = lstsq.solve(f, Xflat, U)
+    feat = Xflat @ Wh.T + b
+    H4 = Wh.reshape(Yp.shape[1], r_pad, 1, kw)
+    VHr = jnp.einsum("rch,nrw->nchw", Vp, H4[:, :, 0, :])
+    return Wh, b, feat, H4, VHr
 
 
 @f32_matmuls
 def vh_decompose(W: jax.Array, rank: int, X: jax.Array | None = None,
                  Y: jax.Array | None = None,
                  lambdas: tuple[float, ...] = (0.1, 1.0),
-                 iters: tuple[int, ...] = (30, 20)) -> VHResult:
+                 iters: tuple[int, ...] = (30, 20),
+                 pad_to: tuple[int, int, int] | None = None) -> VHResult:
     """Split a (n, c, kh, kw) conv into vertical (rank, c, kh, 1) and
     horizontal (n, rank, 1, kw) convs via SVD of the (c*kh, n*kw) unfolding;
     with calibration data (X patches (N, c, kh, kw), Y responses (N, n)) the
     horizontal factor + bias are refit with the ReLU-aware ALS
-    (decompose.py:85-147)."""
+    (decompose.py:85-147).
+
+    `pad_to=(c_pad, n_pad, r_pad)` routes the data refit through the
+    bucket-shaped `_vh_refit_fused` program shared by every layer of the
+    model (Y may arrive pre-padded to (N, n_pad)); results are sliced back
+    to true shapes on host, and the padded device views are returned in the
+    extra VHResult fields for the 3C driver to chain from."""
     n, c, kh, kw = W.shape
+    _t0 = time.perf_counter()
     M = np.asarray(W, np.float64).transpose(1, 2, 0, 3).reshape(c * kh, n * kw)
     # SVD on host in f64 (the reference pins scipy gesvd, decompose.py:155;
     # device SVD kernels also fault on some shapes through the axon stack)
     U, s, Vt = np.linalg.svd(M, full_matrices=False)
+    _t0 = _tprint("vh.svd_host", _t0)
+
+    if X is not None and pad_to is not None:
+        c_pad, n_pad, r_pad = (max(pad_to[0], c), max(pad_to[1], n),
+                               max(pad_to[2], rank))
+        Uk_np = U[:, :rank].astype(np.float32)          # (c*kh, rank)
+        V_np = np.transpose(Uk_np.reshape(c, 1, kh, rank), (3, 0, 2, 1))
+        Vp_np = np.zeros((r_pad, c_pad, kh), np.float32)
+        Vp_np[:rank, :c, :] = V_np[..., 0]
+        Xp = jnp.asarray(X, jnp.float32)
+        if c < c_pad:
+            Xp = jnp.pad(Xp, ((0, 0), (0, c_pad - c), (0, 0), (0, 0)))
+        Yp = jnp.asarray(Y, jnp.float32)
+        if Yp.shape[1] < n_pad:
+            Yp = jnp.pad(Yp, ((0, 0), (0, n_pad - Yp.shape[1])))
+        assert Yp.shape[1] == n_pad, (Yp.shape, n_pad)
+        _t0 = _tprint("vh.pad", _t0, Xp, Yp)
+        Wh, b_pad, feat, H4, VHr_p = _vh_refit_fused(
+            Xp, jnp.asarray(Vp_np), Yp, tuple(lambdas), tuple(iters))
+        _t0 = _tprint("vh.relu_als", _t0, Wh, feat)
+        Wh_np = np.asarray(Wh)                          # (n_pad, r_pad*kw)
+        H = Wh_np.reshape(n_pad, r_pad, 1, kw)[:n, :rank]
+        VHr = np.asarray(VHr_p)[:n, :c]
+        b = np.asarray(b_pad)[:n]
+        _t0 = _tprint("vh.fetch", _t0)
+        return VHResult(V=jnp.asarray(V_np), H=H, VHr=VHr, b=b,
+                        feat=feat, H_pad=H4, VHr_pad=VHr_p, b_pad=b_pad)
+
     U = jnp.asarray(U, jnp.float32)
     s = jnp.asarray(s, jnp.float32)
     Vt = jnp.asarray(Vt, jnp.float32)
@@ -104,7 +210,9 @@ def vh_decompose(W: jax.Array, rank: int, X: jax.Array | None = None,
             Xflat = jnp.concatenate(
                 [Xflat, jnp.zeros((X.shape[0], (rank_pad - rank) * kw),
                                   Xflat.dtype)], axis=1)
+        _t0 = _tprint("vh.project", _t0, Xflat)
         Wh, b = nonlinear_fit(Xflat, Y.astype(jnp.float32), lambdas, iters)
+        _t0 = _tprint("vh.relu_als", _t0, Wh, b)
         H = Wh.reshape(n, rank_pad, 1, kw)[:, :rank]
         Hk = jnp.transpose(H[:, :, 0, :], (1, 0, 2)).reshape(rank, n * kw)
     else:
@@ -125,6 +233,35 @@ class ITQResult(NamedTuple):
     W2: jax.Array    # new 1x1 conv: (d, rank, 1, 1)
     B: jax.Array     # bias (d,)
     W12: jax.Array   # merged low-rank producer (for asymmetric overwrite)
+    # pad_to runs only: padded device responses of the factored layer at the
+    # calibration points, (feat - b) @ (L R) + B — telemetry without a
+    # per-layer-shape einsum program (see _itq_fold_fused)
+    feat2: jax.Array | None = None
+
+
+@jax.jit
+@f32_matmuls
+def _itq_fold_fused(weight_p: jax.Array, Wr_p: jax.Array, L_p: jax.Array,
+                    R_p: jax.Array, T: jax.Array, Y_mean: jax.Array,
+                    U_mean: jax.Array, bias_p: jax.Array, feat: jax.Array):
+    """Factor folding + bias + telemetry as ONE bucket-shaped program
+    (same per-layer-program-cost rationale as `_vh_refit_fused`): folds the
+    left factor into the H conv and the merged VHr, forms the 1x1 conv and
+    bias, and evaluates the factored responses at the calibration points.
+    Zero pad rows/columns of every input stay zero through the matmuls."""
+    d = weight_p.shape[0]
+    Wt_w = jnp.transpose(weight_p, (1, 2, 3, 0)).reshape(-1, d)
+    W1 = jnp.transpose(
+        (Wt_w @ L_p).reshape(weight_p.shape[1:] + (L_p.shape[1],)),
+        (3, 0, 1, 2))
+    LR = L_p @ R_p
+    Wt_r = jnp.transpose(Wr_p, (1, 2, 3, 0)).reshape(-1, d)
+    W12 = jnp.transpose(
+        (Wt_r @ LR).reshape(Wr_p.shape[1:] + (d,)), (3, 0, 1, 2))
+    W2 = jnp.transpose(R_p).reshape(d, R_p.shape[0], 1, 1)
+    B = -Y_mean @ T + U_mean + bias_p @ T
+    feat2 = (feat - bias_p) @ LR + B
+    return W1, W2, B, W12, feat2
 
 
 def _host_eigh(A) -> tuple[np.ndarray, np.ndarray]:
@@ -143,7 +280,9 @@ def _pinv_psd(A, rcond: float = 1e-6) -> np.ndarray:
     analogue, decompose.py:149-152)."""
     w, v = _host_eigh(A)
     cutoff = rcond * np.max(np.abs(w))
-    inv_w = np.where(w > cutoff, 1.0 / w, 0.0).astype(np.float32)
+    inv_w = np.zeros_like(w)
+    nz = w > cutoff
+    inv_w[nz] = 1.0 / w[nz]
     return (v * inv_w) @ v.T
 
 
@@ -239,12 +378,16 @@ def _itq_solve_T(feature, gt_feature, rank: int,
     computed on host in f64 up front (decompose.py:149-152 pins scipy
     pinv(…, 1e-6)). No N-sized SVD anywhere in the loop.
     """
+    _t0 = time.perf_counter()
     feature = jnp.asarray(feature, jnp.float32)
     Z = jnp.maximum(jnp.asarray(gt_feature, jnp.float32), 0.0)
     Y_mean, G, GtG = _itq_moments(feature)
+    _t0 = _tprint("itq.moments", _t0, GtG)
     PG = jnp.asarray(_pinv_psd(np.asarray(GtG)))
+    _t0 = _tprint("itq.pinv_host", _t0, PG)
     T, U_mean, all_ok = _itq_loop_device(G, GtG, PG, Z, Y_mean, rank,
                                          tuple(lambdas), tuple(iters))
+    _t0 = _tprint("itq.als_loop", _t0, T, U_mean)
     T_h, Um_h = np.asarray(T), np.asarray(U_mean)
     if not (np.isfinite(T_h).all() and np.isfinite(Um_h).all()) or \
             not np.abs(T_h).any():
@@ -293,7 +436,8 @@ def _itq_solve_T_host(feature, gt_feature, rank: int,
 @f32_matmuls
 def itq_decompose(feature: np.ndarray | jax.Array, gt_feature, weight, rank: int,
                   bias=None, Wr=None, lambdas: tuple[float, ...] = (0.1, 1.0),
-                  iters: tuple[int, ...] = (30, 20)) -> ITQResult:
+                  iters: tuple[int, ...] = (30, 20),
+                  true_shape: tuple[int, int] | None = None) -> ITQResult:
     """ReLU-aware channel decomposition (decompose.py:163-319).
 
     feature (N, d): responses of the current (already spatially decomposed)
@@ -301,6 +445,12 @@ def itq_decompose(feature: np.ndarray | jax.Array, gt_feature, weight, rank: int
     (d, r, 1, kw) to fold the left factor into; Wr: the merged VHr weights
     (d, c, kh, kw) for the asymmetric overwrite. Produces the rank-`rank`
     factorisation d -> rank (folded into H / Wr) plus a 1x1 conv rank -> d.
+
+    `true_shape=(d, c)` marks the inputs as bucket-padded (zero columns /
+    rows beyond the true widths, produced by `vh_decompose(pad_to=...)`):
+    the solve and fold run at the shared padded shapes (one compiled
+    program for the whole model) and the results are sliced back to true
+    shapes on host. `bias` and `Wr` are required in this mode.
     """
     feature = jnp.asarray(feature, jnp.float32)
     gt_feature = jnp.asarray(gt_feature, jnp.float32)
@@ -311,9 +461,34 @@ def itq_decompose(feature: np.ndarray | jax.Array, gt_feature, weight, rank: int
     T, Y_mean, U_mean = _itq_solve_T(feature, gt_feature, rank, tuple(lambdas),
                                      tuple(iters))
 
+    if true_shape is not None:
+        assert bias is not None and Wr is not None
+        d_true, c_true = true_shape
+        r_pad = weight.shape[1]
+        _t0 = time.perf_counter()
+        L64, s64, Rt64 = np.linalg.svd(np.asarray(T, np.float64),
+                                       full_matrices=False)
+        _t0 = _tprint("itq.svd_host", _t0)
+        L_p = np.zeros((d, r_pad), np.float32)
+        L_p[:, :rank] = L64[:, :rank]
+        R_p = np.zeros((r_pad, d), np.float32)
+        R_p[:rank] = (s64[:rank, None] * Rt64[:rank]).astype(np.float32)
+        W1p, W2p, Bp, W12p, feat2 = _itq_fold_fused(
+            weight, jnp.asarray(Wr, jnp.float32), jnp.asarray(L_p),
+            jnp.asarray(R_p), T, Y_mean, U_mean,
+            jnp.asarray(bias, jnp.float32), feature)
+        _t0 = _tprint("itq.fold", _t0, W12p, feat2)
+        return ITQResult(W1=np.asarray(W1p)[:rank, :rank],
+                         W2=np.asarray(W2p)[:d_true, :rank],
+                         B=np.asarray(Bp)[:d_true],
+                         W12=np.asarray(W12p)[:d_true, :c_true],
+                         feat2=feat2)
+
     # final factor split on host in f64 (device SVD avoided, see _host_eigh)
+    _t0 = time.perf_counter()
     L64, s64, Rt64 = np.linalg.svd(np.asarray(T, np.float64),
                                    full_matrices=False)
+    _t0 = _tprint("itq.svd_host", _t0)
     L = jnp.asarray(L64[:, :rank], jnp.float32)            # (d, rank)
     R = jnp.asarray(s64[:rank, None] * Rt64[:rank], jnp.float32)  # (rank, d)
 

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Mapping
@@ -50,6 +51,36 @@ from channel_pruning_tpu.sampling import rolling as rolling_mod
 from channel_pruning_tpu.sampling import sampler as sampling
 from channel_pruning_tpu.utils.config import Config
 from channel_pruning_tpu.utils.timers import Timer
+
+# CP_TPU_PHASE_TIMING=1 prints fenced per-phase timings in the 3C decompose
+# loop (attribution only: the block_until_ready fences it inserts serialise
+# device work that normally overlaps with host bookkeeping)
+_PHASE_TIMING = os.environ.get("CP_TPU_PHASE_TIMING", "") == "1"
+
+
+def _phase_marker():
+    """Fenced phase accumulator for CP_TPU_PHASE_TIMING runs; no-op (and no
+    device syncs) otherwise. Returns (mark, report) closures."""
+    if not _PHASE_TIMING:
+        return (lambda name, *vals: None), (lambda tag: None)
+    acc: dict[str, float] = {}
+    t0 = [time.perf_counter()]
+
+    def mark(name: str, *vals) -> None:
+        for v in vals:
+            if v is not None:
+                jax.block_until_ready(v)
+        now = time.perf_counter()
+        acc[name] = acc.get(name, 0.0) + (now - t0[0])
+        t0[0] = now
+
+    def report(tag: str) -> None:
+        parts = " ".join(f"{k}={v:.2f}s" for k, v in acc.items())
+        print(f"[phase] {tag}: {parts}", flush=True)
+        acc.clear()
+        t0[0] = time.perf_counter()
+
+    return mark, report
 
 
 # ---------------------------------------------------------------------------
@@ -844,12 +875,18 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         _b = pad_buckets.setdefault((_g["kh"], _g["kw"]), [0, 0])
         _b[0] = max(_b[0], _w[1])
         _b[1] = max(_b[1], _w[0])
+    # model-wide rank bucket: the VH refit / ITQ fold programs are shared by
+    # every decomposed layer (see lowrank._vh_refit_fused — the eager
+    # per-layer-shape chains they replace cost ~10 s of program build PER
+    # LAYER through the axon stack, round-4 phase attribution)
+    r_pad = -(-max(int(r) for r in ranks.values()) // 64) * 64 if ranks else 64
 
     def _sync(name: str) -> None:
         nonlocal dev_run
         dev_run = dict(dev_run)
         dev_run[name] = {k: jnp.asarray(v) for k, v in p_run[name].items()}
 
+    _mark, _phase_report = _phase_marker()
     for i, conv in enumerate(convs):
         if i <= resume_i:
             continue
@@ -863,8 +900,16 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         b_cur = np.asarray(p_run[conv].get("b", np.zeros(W_cur.shape[0])),
                            np.float32)
         n_out, c_full, kh, kw = W_cur.shape
-        Ygt = cache.feats[top]                       # full response incl bias
-        Ygt_d = jnp.asarray(np.asarray(Ygt, np.float32))   # device, once
+        c_pad, n_pad = pad_buckets[(kh, kw)]
+        _mark("host")
+        # upload the ground truth pre-padded to the bucket width so every
+        # layer shares the SAME device buffer shape (and the padded rmse /
+        # refit programs — zero columns cancel in both)
+        Ygt = np.asarray(cache.feats[top], np.float32)
+        if Ygt.shape[1] < n_pad:
+            Ygt = np.pad(Ygt, ((0, 0), (0, n_pad - Ygt.shape[1])))
+        Ygt_d = jnp.asarray(Ygt)                     # device, once
+        _mark("ygt_h2d", Ygt_d)
         from channel_pruning_tpu.utils.runtime import heartbeat as _hb
         _hb()  # per-layer watchdog progress mark (decompose stages)
         timer.tic()
@@ -882,6 +927,7 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             X = sampling.sample_patches(g_run, dev_run, cache.inputs, conv,
                                         cache.plan, chunk_batches=chunk,
                                         compute_dtype=cdt, mesh=mesh)
+        _mark("patches", X)
         if not _epscheck_device(X, warn=1e5, reject=1e6):
             # extreme accumulated activations would fault the device
             # eigh/SVD kernels — keep the layer untouched
@@ -890,10 +936,12 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             reports.append(LayerReport(conv=conv, rank=rank,
                                        seconds=timer.toc()))
             continue
+        _mark("epscheck")
         try:
             vh = lowrank.vh_decompose(W_cur, rank, X=X, Y=Ygt_d,
                                       lambdas=cfg.solve.nonlinear_lambdas,
-                                      iters=cfg.solve.nonlinear_iters)
+                                      iters=cfg.solve.nonlinear_iters,
+                                      pad_to=(c_pad, n_pad, r_pad))
         except np.linalg.LinAlgError as exc:
             print(f"[3c] {conv}: spatial decomposition failed ({exc}) — "
                   "layer kept undecomposed")
@@ -908,6 +956,7 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             reports.append(LayerReport(conv=conv, rank=rank,
                                        seconds=timer.toc()))
             continue
+        _mark("vh", vh.VHr, vh.H, vh.b)
         p_run[conv]["W"] = np.asarray(vh.VHr)
         p_run[conv]["b"] = np.asarray(vh.b)
         _sync(conv)
@@ -917,25 +966,26 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         timer.tic()
         # the post-VH responses at the sampled points are exactly the
         # already-extracted patches convolved with VHr — no replay needed
-        # (the reference re-runs a 500-batch extraction here, net.py:1386).
+        # (the reference re-runs a 500-batch extraction here, net.py:1386),
+        # and the padded refit program already produced them (vh.feat).
         # feat and the ground truth stay DEVICE-resident: the ITQ ALS runs
         # on device anyway, and only scalar telemetry crosses the link
-        with jax.default_matmul_precision("float32"):
-            feat = jnp.einsum("nchw,ochw->no", jnp.asarray(X, jnp.float32),
-                              jnp.asarray(vh.VHr)) + jnp.asarray(vh.b)
+        feat = vh.feat
+        _mark("feat", feat)
         if _epscheck_device(feat, warn=1e5, reject=1e6):
             try:
-                itq = lowrank.itq_decompose(feat, Ygt_d, np.asarray(vh.H), rank,
-                                            bias=np.asarray(vh.b),
-                                            Wr=np.asarray(vh.VHr),
+                itq = lowrank.itq_decompose(feat, Ygt_d, vh.H_pad, rank,
+                                            bias=vh.b_pad, Wr=vh.VHr_pad,
                                             lambdas=cfg.solve.itq_lambdas,
-                                            iters=cfg.solve.itq_iters)
+                                            iters=cfg.solve.itq_iters,
+                                            true_shape=(n_out, c_full))
                 itq_ok = _epscheck(itq.W1, itq.W2, itq.B, itq.W12)
             except np.linalg.LinAlgError as exc:
                 print(f"[3c] {conv}: ITQ solve failed ({exc})")
                 itq, itq_ok = None, False
         else:
             itq, itq_ok = None, False
+        _mark("itq", None if itq is None else itq.W12)
         if itq_ok:
             p_run[conv]["W"] = np.asarray(itq.W12)
             p_run[conv]["b"] = np.asarray(itq.B)
@@ -950,13 +1000,11 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         # Reconstruction Err inside ITQ, decompose.py:202)
         rmse_vh = float(_relu_rel_error(Ygt_d, feat))
         if itq_ok:
-            with jax.default_matmul_precision("float32"):
-                feat2 = jnp.einsum("nchw,ochw->no",
-                                   jnp.asarray(X, jnp.float32),
-                                   jnp.asarray(itq.W12)) + jnp.asarray(itq.B)
-            rmse_final = float(_relu_rel_error(Ygt_d, feat2))
+            # itq.feat2 == X ⊛ W12 + B, evaluated inside the fold program
+            rmse_final = float(_relu_rel_error(Ygt_d, itq.feat2))
         else:
             rmse_final = rmse_vh
+        _mark("telemetry")
         t_channel = timer.toc()
 
         # ---- output graph: conv -> V, insert H (and P when ITQ held) --
@@ -1004,6 +1052,7 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                                              convnext, cache.plan,
                                              chunk_batches=chunk,
                                              compute_dtype=cdt, mesh=mesh)
+            _mark("arm_patches", Xn)
             topn = g_run.layer(convnext).tops[0]
             bn2 = p_run[convnext].get(
                 "b", np.zeros(p_run[convnext]["W"].shape[0], np.float32))
@@ -1025,6 +1074,7 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                     g_run.layer(convnext).conv_geometry()["kh"],
                     g_run.layer(convnext).conv_geometry()["kw"])]))
             t_prune = timer.toc()
+            _mark("arm_solve")
             p_run[convnext]["W"] = _scatter_inputs(res.W, res.keep)
             p_run[convnext]["b"] = res.b
             _sync(convnext)
@@ -1060,6 +1110,8 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                                       "frontier_fallbacks": frontier_fallbacks,
                                       "itq_degraded": itq_degraded,
                                       "undecomposed": undecomposed})
+        _mark("ckpt")
+        _phase_report(conv)
 
     if checkpoint is not None:
         checkpoint.clear()
