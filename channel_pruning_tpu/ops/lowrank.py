@@ -283,7 +283,8 @@ def _pinv_psd(A, rcond: float = 1e-6) -> np.ndarray:
     inv_w = np.zeros_like(w)
     nz = w > cutoff
     inv_w[nz] = 1.0 / w[nz]
-    return (v * inv_w) @ v.T
+    # explicit f32 contract regardless of the eigh path's working dtype
+    return ((v * inv_w) @ v.T).astype(np.float32)
 
 
 @jax.jit

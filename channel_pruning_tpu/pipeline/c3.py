@@ -353,7 +353,8 @@ class _PipelineDegenerate(RuntimeError):
 def _pipelined_conv_pass(g_run: Graph, p_run, dev_run, g_out, p_out,
                          selections, reports, cache: sampling.FrozenCache,
                          cfg: Config, channel_targets, roll, checkpoint,
-                         resume_i: int, verbose: bool, mesh=None):
+                         resume_i: int, verbose: bool, mesh=None,
+                         frontier_fallbacks: list[str] | None = None):
     """Async-pipelined chain conv pass (VERDICT r3 #5): the per-layer device
     chain — frontier advance → patch gather → fused whole-layer solve — is
     dispatched WITHOUT any host synchronisation between layers:
@@ -465,13 +466,19 @@ def _pipelined_conv_pass(g_run: Graph, p_run, dev_run, g_out, p_out,
                                       "p_out": p_out,
                                       "selections": selections,
                                       "reports": reports,
-                                      "frontier_fallbacks": []})
+                                      "frontier_fallbacks":
+                                          list(frontier_fallbacks or [])})
 
     for i, consumer, bottom, target in items:
         runtime.heartbeat()
         t0 = time.perf_counter()
         roll.advance_to(dev_run, bottom)
         X = roll.patches_at(cache.plan, consumer).astype(jnp.float32)
+        # rows_d was drawn once against the FIRST layer's row count; a
+        # mismatched layer would silently clamp gather indices and diverge
+        # from the sequential pass (make_point_plan is uniform, so this
+        # never fires in practice — it guards the invariant)
+        assert X.shape[0] == N, (consumer, X.shape[0], N)
         top = g_run.layer(consumer).tops[0]
         if top not in feats_dev:
             feats_dev[top] = runtime.chunked_device_put(
@@ -587,16 +594,24 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
     roll = _maybe_rolling(g_run, cache, cdt, mesh=mesh)
 
     convs = list(g_run.convs)
+    # the fused single-task solve cannot serve a 1x1 consumer when grplasso
+    # is on (select_and_reconstruct routes those through the row-sparse
+    # group lasso, mirroring the reference's MultiTaskLasso gate,
+    # decompose.py:439-444) — such layers must take the sequential path
+    grpl_block = cfg.dic.grplasso and any(
+        g_run.layer(c).conv_geometry()["kh"]
+        * g_run.layer(c).conv_geometry()["kw"] == 1
+        for c in convs)
     skip_convs = False
     if (not _no_pipeline and roll is not None
             and isinstance(roll, rolling_mod.RollingReplay)
-            and cfg.solve.fused_search
+            and cfg.solve.fused_search and not grpl_block
             and input_targets is None and channel_targets):
         try:
             g_out, p_out, dev_run = _pipelined_conv_pass(
                 g_run, p_run, dev_run, g_out, p_out, selections, reports,
                 cache, cfg, channel_targets, roll, checkpoint, resume_i,
-                verbose, mesh=mesh)
+                verbose, mesh=mesh, frontier_fallbacks=frontier_fallbacks)
             skip_convs = True
         except _PipelineDegenerate as exc:
             print(f"[pipeline] {exc}; restarting on the sequential path")

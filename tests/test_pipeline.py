@@ -382,3 +382,29 @@ def test_deploy_exports_pruned_graph(setup, tmp_path):
     deploy.export_serialized(res.graph, res.params, path, output="prob")
     got = np.asarray(deploy.load_serialized(path)(inputs[0]))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_solve_3c_small_default_suite(setup):
+    """A small 3C end-to-end stays in the DEFAULT suite (the full-schedule
+    five-layer variant is slow-marked): the padded VH/ITQ bucket programs,
+    the pruning arm, and the emitted V/H/P topology are all exercised on
+    every default run — a numerical regression in the shared-bucket path
+    cannot slip through to the slow tier."""
+    import dataclasses
+
+    g, params, inputs, cfg, cache = setup
+    solve = dataclasses.replace(cfg.solve, nonlinear_iters=(4, 2),
+                                itq_iters=(4, 2))
+    cfg_fast = dataclasses.replace(cfg, solve=solve)
+    ranks = {"conv2_1": 9, "conv2_2": 9}
+    res = c3.solve_3c(g, params, cache, cfg_fast, ranks, verbose=False)
+    res.graph.validate()
+    for conv in ranks:
+        assert res.graph.has_layer(f"{conv}_V")
+        assert res.graph.has_layer(f"{conv}_H")
+        assert res.graph.has_layer(f"{conv}_P")
+        assert not res.graph.has_layer(conv)
+        assert res.params[f"{conv}_V"]["W"].shape[0] == ranks[conv]
+    assert res.selections, "pruning arm did not run"
+    p = _final_probs(res.graph, res.params, inputs[0])
+    np.testing.assert_allclose(p.sum(-1), 1.0, rtol=1e-4)

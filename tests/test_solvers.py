@@ -524,3 +524,83 @@ def test_fused_search_matches_host_path():
     gram_small = lasso.lasso_gram(jnp.ones((8, 4)), jnp.ones((8,)))
     m, a, s = lasso.fused_search_alpha(gram_small, 4, 0.1)
     assert s == 4 and m.all() and a == 0.0
+
+
+# --------------------------------------------------------------------------
+# bucket-padded 3C programs: padded-vs-unpadded parity (fast, default suite)
+# --------------------------------------------------------------------------
+
+def test_vh_decompose_pad_to_parity(rng):
+    """vh_decompose(pad_to=...) — the shared-bucket `_vh_refit_fused`
+    program every 3C layer rides — must reproduce the unpadded data-refit
+    path: same VHr/H/b to fp reduction-order tolerance, and the padded
+    device views must slice back to the true factors."""
+    from channel_pruning_tpu.ops import oracle as O
+
+    n, c, N, rank = 12, 6, 400, 8
+    W = rng.normal(size=(n, c, 3, 3)).astype(np.float32)
+    X = rng.normal(size=(N, c, 3, 3)).astype(np.float32)
+    Y = O.conv_response_at_points(X, W).astype(np.float32)
+    ref = lowrank.vh_decompose(W, rank, X=X, Y=Y, iters=(5, 3))
+    pad = lowrank.vh_decompose(W, rank, X=X, Y=Y, iters=(5, 3),
+                               pad_to=(c + 10, n + 12, 64))
+    np.testing.assert_allclose(np.asarray(pad.VHr), np.asarray(ref.VHr),
+                               rtol=1e-2, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pad.H), np.asarray(ref.H),
+                               rtol=1e-2, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pad.b), np.asarray(ref.b),
+                               rtol=1e-2, atol=1e-4)
+    # padded views slice back to the true factors / responses
+    np.testing.assert_allclose(np.asarray(pad.H_pad)[:n, :rank],
+                               np.asarray(pad.H), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(pad.VHr_pad)[:n, :c],
+                               np.asarray(pad.VHr), rtol=1e-6, atol=1e-7)
+    pred = O.conv_response_at_points(X, np.asarray(pad.VHr)) + \
+        np.asarray(pad.b)
+    np.testing.assert_allclose(np.asarray(pad.feat)[:, :n], pred,
+                               rtol=1e-2, atol=1e-3)
+    # pad columns beyond the true output width stay exactly zero targets
+    assert np.abs(np.asarray(pad.H_pad)[n:]).max() < 1e-5
+
+
+def test_itq_decompose_true_shape_parity(rng):
+    """itq_decompose(true_shape=...) — the shared-bucket `_itq_fold_fused`
+    program — must reproduce the unpadded path on zero-padded inputs:
+    same W1/W2/B/W12 to fp tolerance after slicing."""
+    N, d, rank, kw = 400, 16, 6, 3
+    c, kh = 8, 3
+    low = rng.normal(size=(N, rank)) @ rng.normal(size=(rank, d))
+    feature = (low + 0.05 * rng.normal(size=(N, d))).astype(np.float32)
+    gt = (low + 0.05 * rng.normal(size=(N, d))).astype(np.float32)
+    H = rng.normal(size=(d, rank, 1, kw)).astype(np.float32)
+    Wr = rng.normal(size=(d, c, kh, kw)).astype(np.float32)
+    bias = rng.normal(size=d).astype(np.float32)
+    ref = lowrank.itq_decompose(feature, gt, H, rank, bias=bias, Wr=Wr,
+                                iters=(5, 3))
+    d_pad, c_pad, r_pad = d + 8, c + 4, 64
+    fp = np.zeros((N, d_pad), np.float32); fp[:, :d] = feature
+    gp = np.zeros((N, d_pad), np.float32); gp[:, :d] = gt
+    Hp = np.zeros((d_pad, r_pad, 1, kw), np.float32); Hp[:d, :rank] = H
+    Wrp = np.zeros((d_pad, c_pad, kh, kw), np.float32); Wrp[:d, :c] = Wr
+    bp = np.zeros(d_pad, np.float32); bp[:d] = bias
+    pad = lowrank.itq_decompose(fp, gp, Hp, rank, bias=bp, Wr=Wrp,
+                                iters=(5, 3), true_shape=(d, c))
+    # SVD factors are rotation-ambiguous; compare the composed operators
+    for a, b in ((ref.W12, pad.W12), (ref.B, pad.B)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-2, atol=5e-3)
+    comp_ref = np.einsum("or,rabc->oabc", np.asarray(ref.W2)[:, :, 0, 0],
+                         np.asarray(ref.W1))
+    comp_pad = np.einsum("or,rabc->oabc", np.asarray(pad.W2)[:, :, 0, 0],
+                         np.asarray(pad.W1))
+    np.testing.assert_allclose(comp_pad, comp_ref, rtol=2e-2, atol=5e-3)
+    # padded telemetry responses (feat2 = (feat − b) @ LR + B) match the
+    # merged channel operator, recovered from the Wr-fold relation
+    # W12 = fold(Wr, LR): Wt_r @ LR = W12_mat with Wt_r full column rank
+    Wt_r = Wr.transpose(1, 2, 3, 0).reshape(-1, d)          # (c*kh*kw, d)
+    W12_mat = np.asarray(pad.W12).transpose(1, 2, 3, 0).reshape(-1, d)
+    LR = np.linalg.lstsq(Wt_r.astype(np.float64),
+                         W12_mat.astype(np.float64), rcond=None)[0]
+    feat2 = np.asarray(pad.feat2)[:, :d]
+    LR_resp = (feature - bias) @ LR + np.asarray(pad.B)
+    np.testing.assert_allclose(feat2, LR_resp, rtol=2e-2, atol=5e-3)
