@@ -517,6 +517,36 @@ def select_channels(X: np.ndarray, W2: np.ndarray, Y: np.ndarray, rank: int,
                   n_sweeps=n_sweeps, prefer=prefer)
 
 
+def select_channels_fixed(X: np.ndarray, W2: np.ndarray, Y: np.ndarray,
+                          alpha: float, *, subsample: int = 400,
+                          seed: int = 0, n_sweeps: int = 200,
+                          mesh=None) -> tuple[np.ndarray, float, int]:
+    """Fixed-alpha, support-free selection (the reference's `autodet` /
+    `norank` path, decompose.py:395,414-415,582-585): solve the LASSO ONCE
+    at the given alpha and keep whatever support comes out — no band
+    search, no target enforcement. Same (mask, alpha, support) contract as
+    `select_channels`; the caller computes alpha = alpha0 / c**layeralpha."""
+    N = X.shape[0]
+    n_sub = min(subsample, max(N // 20, 1))
+    rng = np.random.default_rng(seed)
+    rows = rng.integers(0, N, size=n_sub)
+    Xs = jnp.asarray(X[rows], jnp.float32)
+    Ys = jnp.asarray(Y[rows], jnp.float32)
+    Z = build_channel_response(Xs, jnp.asarray(W2, jnp.float32))
+    if mesh is not None and mesh.devices.size > 1:
+        from channel_pruning_tpu.parallel.sharded import sharded_lasso_gram
+        gram = sharded_lasso_gram(Z, Ys.reshape(-1), mesh)
+    else:
+        gram = lasso_gram(Z, Ys.reshape(-1))
+    heartbeat()
+    c = int(gram.G.shape[0])
+    beta = cd_solve(gram.G, gram.b,
+                    jnp.float32(alpha * gram.n_samples),
+                    jnp.zeros(c, jnp.float32), n_sweeps=n_sweeps)
+    mask = np.asarray(support_mask(beta[None, :])[0])
+    return mask, float(alpha), int(mask.sum())
+
+
 # ---------------------------------------------------------------------------
 # group (multitask) LASSO — the reference's MultiTaskLasso branch for 1x1/FC
 # consumers (lib/decompose.py:439-444,596-607): row-sparse B in

@@ -606,6 +606,7 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
     if (not _no_pipeline and roll is not None
             and isinstance(roll, rolling_mod.RollingReplay)
             and cfg.solve.fused_search and not grpl_block
+            and not cfg.solve.autodet
             and input_targets is None and channel_targets):
         try:
             g_out, p_out, dev_run = _pipelined_conv_pass(
@@ -710,6 +711,7 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             ridge=cfg.solve.ls_ridge, seed=cfg.sample.seed, mesh=mesh,
             group=cfg.dic.grplasso, prefer=cfg.solve.band,
             fused=cfg.solve.fused_search,
+            autodet=cfg.solve.autodet, layeralpha=cfg.dic.layeralpha,
             pad_to=tuple(pad_buckets[(
                 g_run.layer(consumer).conv_geometry()["kh"],
                 g_run.layer(consumer).conv_geometry()["kw"])]))
@@ -1085,6 +1087,7 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                 max_rounds=cfg.lasso.max_rounds, ridge=cfg.solve.ls_ridge,
                 seed=cfg.sample.seed, mesh=mesh, group=cfg.dic.grplasso,
                 prefer=cfg.solve.band, fused=cfg.solve.fused_search,
+                autodet=cfg.solve.autodet, layeralpha=cfg.dic.layeralpha,
                 pad_to=tuple(pad_buckets[(
                     g_run.layer(convnext).conv_geometry()["kh"],
                     g_run.layer(convnext).conv_geometry()["kw"])]))

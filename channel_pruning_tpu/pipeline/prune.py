@@ -127,7 +127,9 @@ def select_and_reconstruct(X: np.ndarray, W2: np.ndarray, Y: np.ndarray,
                            alter_iters: int = 0, mesh=None,
                            prefer: str = "top",
                            fused: bool = False,
-                           pad_to: tuple[int, int] | None = None) -> PruneResult:
+                           pad_to: tuple[int, int] | None = None,
+                           autodet: bool = False,
+                           layeralpha: float = 1.0) -> PruneResult:
     """One layer's LASSO selection + lstsq reconstruction.
 
     X: (N, c, kh, kw) consumer input patches (current net),
@@ -138,9 +140,16 @@ def select_and_reconstruct(X: np.ndarray, W2: np.ndarray, Y: np.ndarray,
     summed-response single-task form (the reference's MultiTaskLasso branch
     for 1x1/FC consumers, decompose.py:439-444). `alter_iters` runs the
     alternating LASSO <-> least-squares refinement (decompose.py:526-580).
+    `autodet=True` is the reference's fixed-alpha support-free mode
+    (c.autodet, lib/cfgs.py:110): the LASSO is solved ONCE at
+    alpha0 / c**layeralpha (decompose.py:414-415) and `rank` is ignored —
+    the support size is whatever falls out (decompose.py:582-585).
     """
     N, c = X.shape[0], X.shape[1]
     rank = int(min(max(rank, 1), c))
+    if autodet:
+        fused = False       # the fused program searches a band; autodet is
+        alter_iters = 0     # one fixed-alpha solve, no refinement
 
     from channel_pruning_tpu.utils.runtime import chunked_device_put
     Xd = chunked_device_put(np.asarray(X, np.float32)) \
@@ -196,11 +205,17 @@ def select_and_reconstruct(X: np.ndarray, W2: np.ndarray, Y: np.ndarray,
     from channel_pruning_tpu.utils.runtime import heartbeat
     heartbeat()  # per-layer watchdog progress mark
 
-    if rank >= c:
+    if rank >= c and not autodet:
         keep = np.ones(c, bool)
         alpha = 0.0
     else:
-        if group_active:
+        if autodet:
+            # fixed alpha, support free (decompose.py:414-415,582-585);
+            # `rank` only seeds the degenerate magnitude fallback below
+            keep, alpha, _ = lasso.select_channels_fixed(
+                X, W2, Y, alpha0 / c ** layeralpha, subsample=subsample,
+                seed=seed, n_sweeps=n_sweeps, mesh=mesh)
+        elif group_active:
             # row-sparse group lasso directly on the (N, c) design — only
             # meaningful for 1x1/FC consumers (the reference's MultiTaskLasso
             # branch is likewise gated on afterconv/FC, decompose.py:439-444)

@@ -51,6 +51,10 @@ class DicConfig:
     # consumer. True enables the intended group selection for 1x1/FC; the
     # released ResNet-50 tables were produced with the shipped (False) path.
     grplasso: bool = False
+    # autodet mode's per-layer alpha exponent: the fixed selection alpha is
+    # solve.alpha / c**layeralpha, c = consumer input channels
+    # (reference c.dic.layeralpha, lib/cfgs.py:70; used decompose.py:415)
+    layeralpha: float = 1.0
     debug: bool = False
 
 
@@ -90,6 +94,11 @@ class SolveConfig:
     """Reconstruction / decomposition solvers."""
 
     alpha: float = 1e-3          # LASSO alpha seed (cfgs.py:18)
+    # fixed-alpha support-free selection: solve the LASSO ONCE at
+    # alpha / c**dic.layeralpha and keep whatever support comes out — no
+    # band search, no target enforcement (reference c.autodet,
+    # lib/cfgs.py:110; norank path decompose.py:395,414-415,582-585)
+    autodet: bool = False
     ls_ridge: float = 0.0        # optional ridge in reconstruction (cfgs.fc_ridge)
     nonlinear_lambdas: tuple[float, ...] = (0.1, 1.0)   # relu-ALS schedule
     nonlinear_iters: tuple[int, ...] = (30, 20)         # (decompose.py:204-208,677-679)

@@ -408,3 +408,23 @@ def test_solve_3c_small_default_suite(setup):
     assert res.selections, "pruning arm did not run"
     p = _final_probs(res.graph, res.params, inputs[0])
     np.testing.assert_allclose(p.sum(-1), 1.0, rtol=1e-4)
+
+
+def test_autodet_pipeline_knob(setup):
+    """--set solve.autodet=true: the whole-model solve selects with ONE
+    fixed-alpha LASSO per layer (alpha = solve.alpha / c**dic.layeralpha)
+    and the kept counts are support-free — not clamped into the target
+    band (reference c.autodet / dic.layeralpha, lib/cfgs.py:70,110)."""
+    g, params, inputs, cfg, cache = setup
+    targets = {"conv1_1": 5, "conv1_2": 6, "conv2_1": 8}
+    cfg2 = cfg.replace_nested("solve.autodet", True)
+    cfg2 = cfg2.replace_nested("solve.alpha", 1e-4)
+    res = c3.solve_prune(g, params, cache, cfg2, channel_targets=targets,
+                         verbose=False)
+    res.graph.validate()
+    assert res.selections
+    for r in res.reports:
+        c_in = r.total
+        np.testing.assert_allclose(r.alpha, 1e-4 / c_in, rtol=1e-6)
+    p = _final_probs(res.graph, res.params, inputs[0])
+    np.testing.assert_allclose(p.sum(-1), 1.0, rtol=1e-4)

@@ -604,3 +604,59 @@ def test_itq_decompose_true_shape_parity(rng):
     feat2 = np.asarray(pad.feat2)[:, :d]
     LR_resp = (feature - bias) @ LR + np.asarray(pad.B)
     np.testing.assert_allclose(feat2, LR_resp, rtol=2e-2, atol=5e-3)
+
+
+# --------------------------------------------------------------------------
+# autodet: fixed-alpha support-free selection (reference c.autodet,
+# lib/cfgs.py:110; norank path decompose.py:395,414-415,582-585)
+# --------------------------------------------------------------------------
+
+def test_select_channels_fixed_matches_sklearn(rng):
+    """The autodet single-solve path must reproduce sklearn Lasso's support
+    at the same fixed alpha (the reference solves sklearn ONCE at
+    alpha = cfgs.alpha / c**layeralpha and keeps whatever comes out)."""
+    import jax.numpy as jnp
+
+    N, c, n, k = 3000, 24, 16, 3
+    X = rng.normal(size=(N, c, k, k)).astype(np.float32)
+    Wtrue = (rng.normal(size=(n, c, k, k))
+             * (rng.uniform(size=(1, c, 1, 1)) < 0.5)).astype(np.float32)
+    Y = oracle.conv_response_at_points(X, Wtrue).astype(np.float32)
+    W2 = Wtrue + 0.05 * rng.normal(size=Wtrue.shape).astype(np.float32)
+    alpha = 1e-1 / c
+    mask, got_alpha, support = lasso.select_channels_fixed(
+        X, W2, Y, alpha, subsample=400, seed=0, n_sweeps=2000)
+    assert got_alpha == alpha
+    assert 0 < support < c          # support free, but neither empty nor full
+    # same subsample rows as the device path builds internally
+    rows = np.random.default_rng(0).integers(0, N, size=min(400, N // 20))
+    Z = np.asarray(lasso.build_channel_response(
+        jnp.asarray(X[rows], jnp.float32), jnp.asarray(W2, jnp.float32)))
+    sk_mask, _ = oracle.sklearn_lasso_support(Z, Y[rows].reshape(-1), alpha)
+    agreement = (mask == sk_mask).mean()
+    assert agreement > 0.9, f"support agreement {agreement}"
+
+
+def test_autodet_knob_through_select_and_reconstruct(rng):
+    """select_and_reconstruct(autodet=True) ignores the rank target: the
+    kept count is alpha-determined, and layeralpha scales the alpha
+    (larger layeralpha -> smaller alpha -> larger support)."""
+    from channel_pruning_tpu.pipeline import prune
+
+    N, c, n, k = 2000, 16, 12, 3
+    X = np.maximum(rng.normal(size=(N, c, k, k)).astype(np.float32), 0)
+    W2 = (rng.normal(size=(n, c, k, k))
+          * (rng.uniform(size=(1, c, 1, 1)) < 0.6)).astype(np.float32) / c
+    Y = np.einsum("nchw,ochw->no", X, W2).astype(np.float32)
+    res = prune.select_and_reconstruct(X, W2, Y, rank=4, autodet=True,
+                                       alpha0=3e-2, layeralpha=1.0)
+    res_hi = prune.select_and_reconstruct(X, W2, Y, rank=4, autodet=True,
+                                          alpha0=3e-2, layeralpha=2.0)
+    # support free: not forced into the rank-4 band
+    assert res.keep.sum() != 4 or res_hi.keep.sum() != 4
+    assert res_hi.keep.sum() >= res.keep.sum()   # smaller alpha keeps more
+    assert res.rmse_after < 1e-2                 # reconstruction still fits
+    # fused path must NOT have been taken (banded search would clamp): the
+    # recorded alpha is exactly the fixed one
+    np.testing.assert_allclose(res.alpha, 3e-2 / 16, rtol=1e-6)
+    np.testing.assert_allclose(res_hi.alpha, 3e-2 / 16 ** 2, rtol=1e-6)
