@@ -354,10 +354,23 @@ def _pipelined_conv_pass(g_run: Graph, p_run, dev_run, g_out, p_out,
                          selections, reports, cache: sampling.FrozenCache,
                          cfg: Config, channel_targets, roll, checkpoint,
                          resume_i: int, verbose: bool, mesh=None,
-                         frontier_fallbacks: list[str] | None = None):
-    """Async-pipelined chain conv pass (VERDICT r3 #5): the per-layer device
-    chain — frontier advance → patch gather → fused whole-layer solve — is
-    dispatched WITHOUT any host synchronisation between layers:
+                         frontier_fallbacks: list[str] | None = None,
+                         input_targets=None, residual_compensate: bool = True):
+    """Async-pipelined conv pass (VERDICT r3 #5; DAG topologies r4 #1): the
+    per-layer device chain — frontier advance → patch gather → fused
+    whole-layer solve — is dispatched WITHOUT any host synchronisation
+    between layers. Serves BOTH frontier kinds: the chain `RollingReplay`
+    (VGG/plain nets) and the DAG-cut `RollingReplayDAG` (residual
+    topologies — ResNet/Xception/Faster-RCNN), including
+
+      * gate-only consumers (`input_targets`: Select/Filter gates at
+        residual junctions, reference net.py:1627-1630) — same fused
+        solve, the output-graph application just skips the producer
+        shrink, and
+      * residual compensation (reference appresb, net.py:1641-1683):
+        Y = gt(block) − Σ current(other bottoms) − b is built ENTIRELY on
+        device from the frontier's live cut (`features_at(device=True)`),
+        so block-ending consumers stay on the async path too.
 
       * every layer's solve is zero-padded to one (c_pad, n_pad) bucket per
         kernel-size class, so the whole model shares ONE compiled fused-solve
@@ -390,26 +403,35 @@ def _pipelined_conv_pass(g_run: Graph, p_run, dev_run, g_out, p_out,
     from channel_pruning_tpu.utils import runtime
 
     convs = list(g_run.convs)
+    ct = channel_targets or {}
     items = []
     for i, consumer in enumerate(convs):
-        if i <= resume_i or i == 0:
+        if i <= resume_i:
             continue
         bottom = g_run.layer(consumer).bottoms[0]
         producer = prune_mod.producer_conv(g_run, bottom, before=consumer)
-        target = channel_targets.get(producer) if producer else None
+        # target resolution mirrors the sequential loop exactly: gate-only
+        # (consumer-keyed) targets first, then producer-keyed shrink targets
+        target = None
+        gate_only = False
+        if input_targets is not None and consumer in input_targets:
+            target = input_targets[consumer]
+            gate_only = True
+        elif producer is not None and i > 0:
+            target = ct.get(producer)
         if target is None:
             continue
         n_in = p_run[consumer]["W"].shape[1]
         if target >= n_in:
             continue
-        items.append((i, consumer, bottom, int(target)))
+        items.append((i, consumer, bottom, int(target), gate_only))
     if not items:
         return g_out, p_out, dev_run
 
     # one (c_pad, n_pad) bucket per kernel-size class -> one compile each
-    geos = {c: g_run.layer(c).conv_geometry() for _, c, _, _ in items}
+    geos = {c: g_run.layer(c).conv_geometry() for _, c, _, _, _ in items}
     classes: dict[tuple[int, int], list[int]] = {}
-    for _, consumer, _, _ in items:
+    for _, consumer, _, _, _ in items:
         geo = geos[consumer]
         cls = classes.setdefault((geo["kh"], geo["kw"]), [0, 0])
         cls[0] = max(cls[0], p_run[consumer]["W"].shape[1])
@@ -436,7 +458,7 @@ def _pipelined_conv_pass(g_run: Graph, p_run, dev_run, g_out, p_out,
 
     def drain_one():
         nonlocal g_out, p_out
-        i, consumer, out, n_in, n_out, t0 = pending.popleft()
+        i, consumer, out, n_in, n_out, gate_only, t0 = pending.popleft()
         keep = np.asarray(out[0])[:n_in]
         if keep.sum() == 0:
             raise _PipelineDegenerate(
@@ -450,7 +472,7 @@ def _pipelined_conv_pass(g_run: Graph, p_run, dev_run, g_out, p_out,
         p_run[consumer]["W"] = Wfull      # == _scatter_inputs(res.W, keep)
         p_run[consumer]["b"] = b
         g_out, p_out = prune_mod.apply_pruning(g_out, p_out, consumer, res,
-                                               shrink_producer=True)
+                                               shrink_producer=not gate_only)
         selections[consumer] = res.keep
         dt = time.perf_counter() - t0
         reports.append(LayerReport(
@@ -458,7 +480,8 @@ def _pipelined_conv_pass(g_run: Graph, p_run, dev_run, g_out, p_out,
             alpha=res.alpha, rmse_before=res.rmse_before,
             rmse_after=res.rmse_after, seconds=dt))
         if verbose:
-            print(f"[prune] {consumer}: keep {int(res.keep.sum())}/{n_in} "
+            kind = "gate" if gate_only else "prune"
+            print(f"[{kind}] {consumer}: keep {int(res.keep.sum())}/{n_in} "
                   f"rMSE {res.rmse_before:.4f}->{res.rmse_after:.4f} "
                   f"({dt:.2f}s pipelined)")
         if checkpoint is not None:
@@ -469,20 +492,23 @@ def _pipelined_conv_pass(g_run: Graph, p_run, dev_run, g_out, p_out,
                                       "frontier_fallbacks":
                                           list(frontier_fallbacks or [])})
 
-    for i, consumer, bottom, target in items:
+    for i, consumer, bottom, target, gate_only in items:
         runtime.heartbeat()
         t0 = time.perf_counter()
-        roll.advance_to(dev_run, bottom)
-        X = roll.patches_at(cache.plan, consumer).astype(jnp.float32)
+        try:
+            roll.advance_to(dev_run, bottom)
+            X = roll.patches_at(cache.plan, consumer).astype(jnp.float32)
+        except rolling_mod.FrontierError as exc:
+            # non-monotone bottom / tensor off the cut: the sequential path
+            # has a full-replay fallback — restart there
+            raise _PipelineDegenerate(f"{consumer}: frontier fallback "
+                                      f"needed ({exc})")
         # rows_d was drawn once against the FIRST layer's row count; a
         # mismatched layer would silently clamp gather indices and diverge
         # from the sequential pass (make_point_plan is uniform, so this
         # never fires in practice — it guards the invariant)
         assert X.shape[0] == N, (consumer, X.shape[0], N)
         top = g_run.layer(consumer).tops[0]
-        if top not in feats_dev:
-            feats_dev[top] = runtime.chunked_device_put(
-                np.asarray(cache.feats[top], np.float32))
         n_in = p_run[consumer]["W"].shape[1]
         n_out = p_run[consumer]["W"].shape[0]
         geo = geos[consumer]
@@ -491,7 +517,28 @@ def _pipelined_conv_pass(g_run: Graph, p_run, dev_run, g_out, p_out,
         b2d = dev_run[consumer].get("b")
         b2d = (jnp.asarray(b2d, jnp.float32) if b2d is not None
                else jnp.zeros((n_out,), jnp.float32))
-        Yd = feats_dev[top] - b2d[None, :]
+        e_top, others = (_residual_context(g_run, top) if residual_compensate
+                         else (None, ()))
+        if e_top is not None and e_top in cache.feats:
+            # residual compensation, fully on device: fit the branch so the
+            # BLOCK output matches ground truth (identical expression order
+            # to the sequential path — bit-identical Y)
+            if e_top not in feats_dev:
+                feats_dev[e_top] = runtime.chunked_device_put(
+                    np.asarray(cache.feats[e_top], np.float32))
+            Yd = feats_dev[e_top] - b2d[None, :]
+            try:
+                for o in others:
+                    Yd = Yd - roll.features_at(dev_run, cache.plan, o,
+                                               device=True)
+            except rolling_mod.FrontierError as exc:
+                raise _PipelineDegenerate(f"{consumer}: residual features "
+                                          f"fallback needed ({exc})")
+        else:
+            if top not in feats_dev:
+                feats_dev[top] = runtime.chunked_device_put(
+                    np.asarray(cache.feats[top], np.float32))
+            Yd = feats_dev[top] - b2d[None, :]
         if n_in < c_pad:
             X = jnp.pad(X, ((0, 0), (0, c_pad - n_in), (0, 0), (0, 0)))
             W2d = jnp.pad(W2d, ((0, 0), (0, c_pad - n_in), (0, 0), (0, 0)))
@@ -509,7 +556,7 @@ def _pipelined_conv_pass(g_run: Graph, p_run, dev_run, g_out, p_out,
         # layer's frontier advance
         dev_run = dict(dev_run)
         dev_run[consumer] = {"W": out[3][:n_out, :n_in], "b": out[4][:n_out]}
-        pending.append((i, consumer, out, n_in, n_out, t0))
+        pending.append((i, consumer, out, n_in, n_out, gate_only, t0))
         while len(pending) > 1:
             drain_one()
     while pending:
@@ -604,15 +651,16 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
         for c in convs)
     skip_convs = False
     if (not _no_pipeline and roll is not None
-            and isinstance(roll, rolling_mod.RollingReplay)
             and cfg.solve.fused_search and not grpl_block
             and not cfg.solve.autodet
-            and input_targets is None and channel_targets):
+            and (channel_targets or input_targets)):
         try:
             g_out, p_out, dev_run = _pipelined_conv_pass(
                 g_run, p_run, dev_run, g_out, p_out, selections, reports,
                 cache, cfg, channel_targets, roll, checkpoint, resume_i,
-                verbose, mesh=mesh, frontier_fallbacks=frontier_fallbacks)
+                verbose, mesh=mesh, frontier_fallbacks=frontier_fallbacks,
+                input_targets=input_targets,
+                residual_compensate=residual_compensate)
             skip_convs = True
         except _PipelineDegenerate as exc:
             print(f"[pipeline] {exc}; restarting on the sequential path")
@@ -676,11 +724,15 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                          else (None, ()))
         if e_top is not None and e_top in cache.feats:
             # fit the branch so the BLOCK output matches ground truth:
-            # Y = gt(block) − Σ current(other bottoms) − b
+            # Y = gt(block) − b − Σ current(other bottoms), computed ON
+            # DEVICE in f32 with the same expression order as the pipelined
+            # pass (bit-identical targets either way; the reference does
+            # this subtraction on f32 caffe blobs, net.py:1641-1683)
             cur = None
             if roll is not None:
                 try:
-                    cur = {o: roll.features_at(dev_run, cache.plan, o)
+                    cur = {o: roll.features_at(dev_run, cache.plan, o,
+                                               device=True)
                            for o in others}
                 except rolling_mod.FrontierError as exc:
                     print(f"[rolling] features fallback for {consumer}: {exc}")
@@ -690,10 +742,12 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                                                cache.plan, others,
                                                chunk_batches=chunk,
                                                compute_dtype=cdt, mesh=mesh)
-            Y = cache.feats[e_top].astype(np.float64) - b2
+            if e_top not in feats_dev:
+                feats_dev[e_top] = sampling.chunked_device_put(
+                    np.asarray(cache.feats[e_top], np.float32))
+            Y = feats_dev[e_top] - jnp.asarray(b2, jnp.float32)[None, :]
             for o in others:
-                Y = Y - cur[o]
-            Y = Y.astype(np.float32)
+                Y = Y - jnp.asarray(cur[o], jnp.float32)
         else:
             # chain path: subtract the bias ON DEVICE against a cached upload
             # of the ground truth — the (N, n) target would otherwise be a

@@ -225,9 +225,12 @@ class RollingReplay:
         # 92 MB host round-trip per layer costs ~2 s over the tunnel
         return jnp.concatenate(outs, axis=0)
 
-    def features_at(self, params, plan, tensor: str) -> np.ndarray:
+    def features_at(self, params, plan, tensor: str,
+                    device: bool = False) -> np.ndarray:
         """Sampled responses of `tensor` computed from the frontier (one
-        layer-segment forward per group, frontier unchanged)."""
+        layer-segment forward per group, frontier unchanged). With
+        `device=True` the result stays HBM-resident and NOTHING syncs the
+        host — the async pipelined solve's residual-compensation path."""
         fn = _segment_fn(self.graph, self.tensor, tensor, self.compute_dtype,
                          self.mesh)
         ys_all, xs_all = plan[tensor]
@@ -238,9 +241,11 @@ class RollingReplay:
             lo = gi * self.group_batches
             hi = lo + self.group_batches
             v = fn(params, g)
-            outs.append(np.asarray(gather(v, jnp.asarray(ys_all[lo:hi]),
-                                          jnp.asarray(xs_all[lo:hi]))))
-        return np.concatenate(outs, axis=0)
+            outs.append(gather(v, jnp.asarray(ys_all[lo:hi]),
+                               jnp.asarray(xs_all[lo:hi])))
+        if device:
+            return jnp.concatenate(outs, axis=0)
+        return np.concatenate([np.asarray(o) for o in outs], axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -383,9 +388,11 @@ class RollingReplayDAG:
                                jnp.asarray(xs_all[lo:hi])))
         return jnp.concatenate(outs, axis=0)   # device-resident (see chain)
 
-    def features_at(self, params, plan, tensor: str) -> np.ndarray:
+    def features_at(self, params, plan, tensor: str,
+                    device: bool = False) -> np.ndarray:
         """Sampled responses of `tensor`: directly from the cut when alive,
-        otherwise computed forward from the cut (state unchanged)."""
+        otherwise computed forward from the cut (state unchanged). With
+        `device=True` the result stays HBM-resident (see RollingReplay)."""
         ys_all, xs_all = plan[tensor]
         gather = _channel_gather_fn(self.batch_size, self.group_batches)
 
@@ -416,6 +423,8 @@ class RollingReplayDAG:
         for gi, g in enumerate(groups):
             lo = gi * self.group_batches
             hi = lo + self.group_batches
-            outs.append(np.asarray(gather(g, jnp.asarray(ys_all[lo:hi]),
-                                          jnp.asarray(xs_all[lo:hi]))))
-        return np.concatenate(outs, axis=0)
+            outs.append(gather(g, jnp.asarray(ys_all[lo:hi]),
+                               jnp.asarray(xs_all[lo:hi])))
+        if device:
+            return jnp.concatenate(outs, axis=0)
+        return np.concatenate([np.asarray(o) for o in outs], axis=0)

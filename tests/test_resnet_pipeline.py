@@ -144,3 +144,60 @@ def test_deploy_exports_select_gated_graph(setup, tmp_path):
     deploy.export_serialized(gated, pg, path, output="prob")
     got = np.asarray(deploy.load_serialized(path)(inputs[0]))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pipelined_dag_pass_matches_sequential(setup):
+    """Residual topologies now ride the async pipelined one-program solve
+    (round-5 DAG extension of c3._pipelined_conv_pass): gate-only targets,
+    residual-compensated block-ending consumers, and plain shrink targets
+    must all produce EXACTLY the sequential path's selections — and the
+    pipelined pass must actually complete (no _PipelineDegenerate restart)."""
+    _, _, g, p, inputs, cfg, cache = setup
+    channel_targets = {}
+    input_targets = {}
+    for conv in g.convs:
+        n = int(g.layer(conv).attr("num_output"))
+        if conv.endswith("branch2a") or conv.endswith("branch2b"):
+            channel_targets[conv] = max(2, int(n * 0.7))
+        if conv.endswith("branch2a"):
+            input_targets[conv] = max(2, int(p[conv]["W"].shape[1] * 0.7))
+    cfg2 = cfg.replace_nested("solve.band", "bottom")
+
+    completions = []
+    orig_pass = c3._pipelined_conv_pass
+
+    def _spy(*args, **kwargs):
+        out = orig_pass(*args, **kwargs)   # raises _PipelineDegenerate on bail
+        completions.append(True)
+        return out
+
+    c3._pipelined_conv_pass = _spy
+    try:
+        piped = c3.solve_prune(g, p, cache, cfg2,
+                               channel_targets=channel_targets,
+                               input_targets=input_targets, verbose=False)
+    finally:
+        c3._pipelined_conv_pass = orig_pass
+    assert completions, "pipelined DAG pass was not taken (or degenerated)"
+    seq = c3.solve_prune(g, p, cache, cfg2, channel_targets=channel_targets,
+                         input_targets=input_targets, verbose=False,
+                         _no_pipeline=True)
+    assert set(piped.selections) == set(seq.selections)
+    for name in seq.selections:
+        np.testing.assert_array_equal(piped.selections[name],
+                                      seq.selections[name]), name
+    piped.graph.validate()
+    # the gate layers produced Select gates, one per branch2a (as the
+    # sequential test asserts), and the pruned net still runs
+    b2a = [c for c in g.convs if c.endswith("branch2a")]
+    assert len(piped.graph.by_type(LT.SELECT)) == len(b2a)
+    from channel_pruning_tpu.ops.forward import build_forward
+    _, caps = build_forward(piped.graph, capture=("prob",), jit=False)(
+        to_device_params(piped.params), {"data": inputs[0]})
+    np.testing.assert_allclose(np.asarray(caps["prob"]).sum(-1), 1.0,
+                               rtol=1e-4)
+    # weights agree with the sequential pass to fp reduction-order tolerance
+    for name in seq.selections:
+        np.testing.assert_allclose(piped.params[name]["W"],
+                                   seq.params[name]["W"],
+                                   rtol=5e-3, atol=5e-5)
