@@ -998,6 +998,18 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             X = sampling.sample_patches(g_run, dev_run, cache.inputs, conv,
                                         cache.plan, chunk_batches=chunk,
                                         compute_dtype=cdt, mesh=mesh)
+        if mesh is not None and mesh.devices.size > 1 and \
+                isinstance(X, jax.Array):
+            # replicate the decompose-stage inputs: the VH refit / ITQ ALS
+            # are ITERATIVE solvers — run over a row-sharded X their psum
+            # partial-sum order differs from the single-device reduction and
+            # the drift amplifies across ALS sweeps (a borderline arm
+            # selection flipped in the 8-device dryrun). Replication makes
+            # them bit-identical to the solo pass; the big reductions — the
+            # frontier advance and the arm's Gram/normal equations — stay
+            # sample-sharded (the scaling axis, SURVEY §5)
+            from jax.sharding import NamedSharding, PartitionSpec
+            X = jax.device_put(X, NamedSharding(mesh, PartitionSpec()))
         _mark("patches", X)
         if not _epscheck_device(X, warn=1e5, reject=1e6):
             # extreme accumulated activations would fault the device

@@ -161,10 +161,14 @@ def select_and_reconstruct(X: np.ndarray, W2: np.ndarray, Y: np.ndarray,
     # branch below is gated on kh*kw==1, mirroring decompose.py:439-444),
     # so `group` on a k>1 conv must not knock out the fused fast path
     group_active = group and X.shape[2] * X.shape[3] == 1
-    if (fused and not group_active and not alter_iters and mesh is None
-            and rank < c):
+    if fused and not group_active and not alter_iters and rank < c:
         # whole-layer fused fast path: ONE device program for
-        # rMSE/Z/Gram/search/reconstruction (see _fused_layer_solve)
+        # rMSE/Z/Gram/search/reconstruction (see _fused_layer_solve).
+        # With a mesh the inputs are row-sharded so GSPMD partitions the
+        # program's big reductions over ICI — the same SPMD plan as the
+        # pipelined pass, selections identical either way (a mesh must NOT
+        # change the search path: the host-stepped sharded solver walks a
+        # different alpha trajectory and can land elsewhere in the band)
         from channel_pruning_tpu.utils.runtime import heartbeat as _hb
         _hb()
         n_sub = min(subsample, max(N // 20, 1))
@@ -185,6 +189,12 @@ def select_and_reconstruct(X: np.ndarray, W2: np.ndarray, Y: np.ndarray,
             if n_out < n_pad:
                 W2p = jnp.pad(W2p, ((0, n_pad - n_out), (0, 0), (0, 0), (0, 0)))
                 Yp = jnp.pad(Yp, ((0, 0), (0, n_pad - n_out)))
+        if mesh is not None and mesh.devices.size > 1 \
+                and N % mesh.devices.size == 0:
+            from channel_pruning_tpu.parallel import mesh as mesh_mod
+            row_sharded = mesh_mod.batch_sharded(mesh)
+            Xp = jax.device_put(Xp, row_sharded)
+            Yp = jax.device_put(Yp, row_sharded)
         out = _fused_layer_solve(
             Xp, W2p, Yp, jnp.asarray(rows),
             jnp.int32(rank), float(rank_tol), float(alpha0), grid_size,
