@@ -122,9 +122,22 @@ class Watchdog:
     axon worker can block forever in native code (no exception ever
     surfaces — the reference had the same failure shape, a crashed Caffe
     child hanging Worker.do on queue.get(), lib/worker.py:64). A daemon
-    thread watches a heartbeat; if no progress for `limit_s` it re-execs
-    the process (execve replaces all threads, including the hung one), and
-    the run resumes from the frozen cache / solve checkpoint.
+    thread watches a heartbeat; if no progress for the effective limit it
+    re-execs the process (execve replaces all threads, including the hung
+    one), and the run resumes from the frozen cache / solve checkpoint —
+    i.e. the stalled stage is re-dispatched in a FRESH client.
+
+    Adaptive stall policy (round 5): the flat `limit_s` bound let one live
+    874 s device op inflate a ~500 s solve wall 2.7x — the probe said the
+    worker was healthy, so the fixed grace waited the op out. The watchdog
+    now learns the run's own rhythm: inter-heartbeat intervals feed a
+    rolling window, and once `min_samples` exist the effective stale limit
+    becomes clamp(stall_factor * median, min_limit_s, limit_s). A solve
+    beating every ~2 s gets a ~240 s bound; an op exceeding it is
+    re-dispatched (checkpoint resume) instead of waited out — stalls are
+    bounded by ~2x the effective limit (detection + probe grace) rather
+    than by the op's whim. The floor stays far above the observed cold
+    fused-solve compiles (10-37 s) so slow-but-live work is never killed.
 
     Only arms when explicitly started (CLI does so for device runs) and
     respects the CP_TPU_REEXEC cap shared with cli.main's crash recovery.
@@ -133,13 +146,20 @@ class Watchdog:
     _instance = None
 
     def __init__(self, argv, limit_s: float = 600.0, poll_s: float = 30.0,
-                 on_stale=None):
+                 on_stale=None, stall_factor: float = 12.0,
+                 min_limit_s: float = 240.0, min_samples: int = 8,
+                 window: int = 64):
+        import collections
         import threading
         import time
 
         self.argv = list(argv)
         self.limit_s = limit_s
         self.poll_s = poll_s
+        self.stall_factor = stall_factor
+        self.min_limit_s = min_limit_s
+        self.min_samples = min_samples
+        self._intervals = collections.deque(maxlen=window)
         self._last = time.monotonic()
         self._stop = threading.Event()
         self._on_stale = on_stale or self._reexec  # injectable for tests
@@ -157,12 +177,24 @@ class Watchdog:
     def beat(self):
         import time
 
-        self._last = time.monotonic()
+        now = time.monotonic()
+        self._intervals.append(now - self._last)
+        self._last = now
+
+    def effective_limit_s(self) -> float:
+        """The adaptive stale bound: stall_factor x the median inter-beat
+        interval, clamped to [min_limit_s, limit_s]; the flat limit_s until
+        enough rhythm samples exist."""
+        if len(self._intervals) < self.min_samples:
+            return self.limit_s
+        med = sorted(self._intervals)[len(self._intervals) // 2]
+        return min(max(self.stall_factor * med, self.min_limit_s),
+                   self.limit_s)
 
     def stale(self) -> bool:
         import time
 
-        return time.monotonic() - self._last >= self.limit_s
+        return time.monotonic() - self._last >= self.effective_limit_s()
 
     def _watch(self):
         while not self._stop.wait(self.poll_s):
@@ -191,9 +223,13 @@ class Watchdog:
         if healthy and self._last == mark:
             # the device answers fresh processes, but is this process wedged
             # or just slow (cold compile, big grid solve)? Grant one more
-            # limit_s of grace: a live op will finish and beat; a dead
-            # client never will (the known axon signature).
-            deadline = time.monotonic() + self.limit_s
+            # EFFECTIVE limit of grace: a live op will finish and beat; a
+            # dead client never will (the known axon signature). With the
+            # adaptive bound this caps a healthy-probe single-op stall at
+            # ~2x the run's learned rhythm instead of 2x the flat 600 s —
+            # the 874 s conv5_3 stall (BENCH_NOTES r4) would have been
+            # re-dispatched at ~480 s.
+            deadline = time.monotonic() + self.effective_limit_s()
             while time.monotonic() < deadline and self._last == mark:
                 if self._stop.wait(self.poll_s):
                     return "resume"
@@ -204,8 +240,11 @@ class Watchdog:
             return "resume"
         if not healthy:
             os._exit(3)
-        # healthy fresh-process probe + repeated stall = the dead-client
-        # signature (new processes connect instantly, this one never will)
+        # healthy fresh-process probe + repeated stall = either the
+        # dead-client signature (new processes connect instantly, this one
+        # never will) or a single op stalled far beyond the run's rhythm —
+        # both are bounded the same way: re-dispatch the (idempotent,
+        # checkpointed) stage in a fresh client
         print("[watchdog] re-executing to reconnect")
         sys.stdout.flush()
         os.environ["CP_TPU_REEXEC"] = str(n + 1)
