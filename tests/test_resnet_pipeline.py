@@ -201,3 +201,79 @@ def test_pipelined_dag_pass_matches_sequential(setup):
         np.testing.assert_allclose(piped.params[name]["W"],
                                    seq.params[name]["W"],
                                    rtol=5e-3, atol=5e-5)
+
+
+def test_invbn_by_design_equivalence():
+    """The reference rescales residual-compensation targets by the inverse
+    BN/Scale gain when the consumer carries a BN+Scale (invBN,
+    lib/net.py:1200-1217, applied at 1716-1719): it fits the RAW conv
+    against Y_ref = (gt_raw − b) + (std/k)·Δshortcut. We instead fold BN at
+    preprocess and compute every target on the folded running graph, in the
+    post-BN domain. The two are the same problem: the folded consumer's
+    weights are W' = diag(k/std)·W, and this test asserts the folded-domain
+    target our solve computes (gt(block) − b' − cur(shortcut)) equals
+    diag(k/std) · Y_ref EXACTLY — so the per-output-row least-squares
+    reconstructions map onto each other by the same row scaling (lstsq rows
+    are independent), and no inverse-BN pullback is needed by design."""
+    from channel_pruning_tpu.graph.ir import Graph, Layer, TensorSpec
+    from channel_pruning_tpu.graph import rewrite
+
+    layers = [
+        Layer.make("convS", LT.CONV, ["data"], num_output=6, kernel_size=1,
+                   stride=1, pad=0, bias=True),
+        Layer.make("conv1", LT.CONV, ["data"], num_output=5, kernel_size=3,
+                   stride=1, pad=1, bias=True),
+        Layer.make("conv1_relu", LT.RELU, ["conv1"], ["conv1"]),
+        Layer.make("conv2", LT.CONV, ["conv1"], num_output=6, kernel_size=3,
+                   stride=1, pad=1, bias=True),
+        Layer.make("bn2", LT.BN, ["conv2"], ["conv2_bn"], eps=1e-9),
+        Layer.make("scale2", LT.SCALE, ["conv2_bn"], ["conv2_sc"], bias=True),
+        Layer.make("blk", LT.ELTWISE, ["convS", "conv2_sc"], operation="sum"),
+    ]
+    g0 = Graph(name="invbn", inputs=(TensorSpec("data", (2, 3, 8, 8)),),
+               layers=tuple(layers))
+    g0.validate()
+    from channel_pruning_tpu.models.vgg import init_params
+    rng = np.random.default_rng(3)
+    p0 = init_params(g0, seed=3)
+    p0["bn2"]["mean"] = rng.normal(0, 0.2, 6).astype(np.float32)
+    p0["bn2"]["var"] = (1.0 + rng.uniform(0, 0.8, 6)).astype(np.float32)
+    p0["scale2"]["W"] = (1.0 + rng.normal(0, 0.3, 6)).astype(np.float32)
+    p0["scale2"]["b"] = rng.normal(0, 0.2, 6).astype(np.float32)
+    # the running net's shortcut has drifted (upstream already pruned)
+    p_cur = {k: dict(v) for k, v in p0.items()}
+    p_cur["convS"] = dict(p_cur["convS"])
+    p_cur["convS"]["W"] = (p_cur["convS"]["W"]
+                           + 0.1 * rng.normal(size=p_cur["convS"]["W"].shape)
+                           ).astype(np.float32)
+
+    x = rng.normal(0, 1, (2, 3, 8, 8)).astype(np.float32)
+
+    def resp(graph, params, tensor):
+        _, caps = build_forward(graph, capture=(tensor,), jit=False)(
+            to_device_params(params), {"data": x})
+        a = np.asarray(caps[tensor], np.float64)
+        return a.transpose(0, 2, 3, 1).reshape(-1, a.shape[1])
+
+    # ---- the reference's raw-domain target -----------------------------
+    eps = 1e-9
+    std = np.sqrt(p0["bn2"]["var"].astype(np.float64) + eps)
+    k = p0["scale2"]["W"].astype(np.float64)
+    gt_raw = resp(g0, p0, "conv2")          # pre-BN conv responses, orig net
+    gt_short = resp(g0, p0, "convS")
+    cur_short = resp(g0, p_cur, "convS")
+    b2 = p0["conv2"]["b"].astype(np.float64)
+    Y_ref = (gt_raw - b2) + (std / k) * (gt_short - cur_short)
+
+    # ---- our folded-domain target (what solve_prune computes) ----------
+    g, p = rewrite.merge_bn(g0, p0)
+    assert not g.bns and not g.scales
+    p_fold_cur = {kk: dict(v) for kk, v in p.items()}
+    p_fold_cur["convS"] = dict(p_cur["convS"])
+    gt_block = resp(g, p, "blk")            # frozen-cache gt of the Eltwise
+    cur_short_f = resp(g, p_fold_cur, "convS")
+    b2f = p["conv2"]["b"].astype(np.float64)
+    Y_fold = gt_block - b2f - cur_short_f
+
+    np.testing.assert_allclose(Y_fold, (k / std) * Y_ref,
+                               rtol=1e-5, atol=1e-6)
