@@ -208,7 +208,31 @@ def cmd_prune(args):
             t_phase["freeze"] = time.perf_counter() - t
             return c
 
-        cache = retry_on_worker_crash(_freeze_once)
+        def _freeze_with_fallback():
+            # ANY worker crash during the freeze stage disarms the fused
+            # whole-net program for the in-process retry AND the re-exec
+            # recovery. The in-fused handler (sampler.sample_features) only
+            # fires when the fault surfaces inside the fused call — a crash
+            # during the upload/compile path previously left CP_TPU_NO_FUSE
+            # unset, so all 3 re-execs retried the same worker-killing
+            # program (Xception freeze, 2026-08-19). Grouped freezes have
+            # never faulted the worker; slower is better than never.
+            import os
+
+            from jax.errors import JaxRuntimeError
+
+            from channel_pruning_tpu.utils.runtime import is_worker_crash
+            try:
+                return _freeze_once()
+            except JaxRuntimeError as exc:
+                if is_worker_crash(exc) and not os.environ.get(
+                        "CP_TPU_NO_FUSE"):
+                    os.environ["CP_TPU_NO_FUSE"] = "1"
+                    print("[prune] worker crashed during freeze; the fused "
+                          "whole-net program is disabled for recovery")
+                raise
+
+        cache = retry_on_worker_crash(_freeze_with_fallback)
         t_sv = time.perf_counter()
         cache.save(cache_path)
         print(f"[prune] froze calibration cache -> {cache_path} "

@@ -131,3 +131,37 @@ def test_cli_verify_release_known_tables():
     assert RELEASED_ACCURACY["channel_pruning_5x"]["accuracy@5"] == 0.881
     assert RELEASED_ACCURACY["vgg16_3c_4x"]["accuracy@1"] == 0.706
     assert RELEASED_ACCURACY["resnet50_2x"]["accuracy@5"] == 0.908
+
+
+def test_freeze_crash_disarms_fused_program(tmp_path, monkeypatch):
+    """A worker crash ANYWHERE in the freeze stage (upload, compile, or the
+    fused program itself) must set CP_TPU_NO_FUSE before recovery retries —
+    otherwise the re-exec loop retries the same worker-killing fused
+    program until the re-exec budget is gone (observed 3/3 on the Xception
+    freeze, 2026-08-19)."""
+    import channel_pruning_tpu.cli as cli_mod
+    from channel_pruning_tpu.sampling import sampler
+    from channel_pruning_tpu.utils import runtime
+    from jax.errors import JaxRuntimeError
+
+    monkeypatch.delenv("CP_TPU_NO_FUSE", raising=False)
+    # crash shape: the axon tunnel's dead-worker signature, raised from the
+    # upload path (OUTSIDE sample_features' fused-call handler)
+    def crashing(*a, **k):
+        raise JaxRuntimeError(
+            "UNAVAILABLE: TPU worker process crashed or restarted.")
+    monkeypatch.setattr(cli_mod, "to_device_params", crashing, raising=False)
+    import channel_pruning_tpu.ops.forward as fwd_mod
+    monkeypatch.setattr(fwd_mod, "to_device_params", crashing)
+    # make the in-process retry give up instantly (client unrecoverable)
+    monkeypatch.setattr(runtime, "wait_for_device", lambda *a, **k: False)
+
+    with pytest.raises(JaxRuntimeError):
+        cli_mod.main(["prune", "--model", "tiny_vgg", "--mode", "prune",
+                      "--batch", "4", "--cal-batches", "4", "--cal-batch",
+                      "4", "--speed", "2.0", "--platform", "cpu",
+                      "--work-dir", str(tmp_path)])
+    import os
+    assert os.environ.get("CP_TPU_NO_FUSE") == "1", \
+        "freeze-stage crash did not disarm the fused program"
+    os.environ.pop("CP_TPU_NO_FUSE", None)
