@@ -492,6 +492,7 @@ def _pipelined_conv_pass(g_run: Graph, p_run, dev_run, g_out, p_out,
                                       "frontier_fallbacks":
                                           list(frontier_fallbacks or [])})
 
+    diag: list[tuple[str, float, float, float]] = []
     for i, consumer, bottom, target, gate_only in items:
         runtime.heartbeat()
         t0 = time.perf_counter()
@@ -508,6 +509,12 @@ def _pipelined_conv_pass(g_run: Graph, p_run, dev_run, g_out, p_out,
         # from the sequential pass (make_point_plan is uniform, so this
         # never fires in practice — it guards the invariant)
         assert X.shape[0] == N, (consumer, X.shape[0], N)
+        if _PHASE_TIMING:
+            # fenced attribution (perturbs the overlap this pass exists for —
+            # diagnostics only): advance+gather = the frontier's conv replay
+            # over the calibration set, the MXU-bound part of the chain
+            X = jax.block_until_ready(X)
+            t_adv = time.perf_counter() - t0
         top = g_run.layer(consumer).tops[0]
         n_in = p_run[consumer]["W"].shape[1]
         n_out = p_run[consumer]["W"].shape[0]
@@ -548,10 +555,19 @@ def _pipelined_conv_pass(g_run: Graph, p_run, dev_run, g_out, p_out,
         if row_sharded is not None:
             X = jax.device_put(X, row_sharded)
             Yd = jax.device_put(Yd, row_sharded)
+        if _PHASE_TIMING:
+            Yd = jax.block_until_ready(Yd)
+            t_tgt = time.perf_counter() - t0 - t_adv
         out = _fused_layer_solve(
             X, W2d, Yd, rows_d, jnp.int32(target), float(cfg.dic.rank_tol),
             float(cfg.solve.alpha), cfg.lasso.grid_size, cfg.lasso.max_rounds,
             cfg.lasso.n_sweeps, cfg.solve.band, float(cfg.solve.ls_ridge))
+        if _PHASE_TIMING:
+            out = jax.block_until_ready(out)
+            t_solve = time.perf_counter() - t0 - t_adv - t_tgt
+            diag.append((consumer, t_adv, t_tgt, t_solve))
+            print(f"[fenced-diag] {consumer}: advance+gather {t_adv:.2f}s "
+                  f"target-build {t_tgt:.2f}s fused-solve {t_solve:.2f}s")
         # device-to-device running update: NO host sync before the next
         # layer's frontier advance
         dev_run = dict(dev_run)
@@ -561,6 +577,12 @@ def _pipelined_conv_pass(g_run: Graph, p_run, dev_run, g_out, p_out,
             drain_one()
     while pending:
         drain_one()
+    if _PHASE_TIMING and diag:
+        tot = [sum(d[k] for d in diag) for k in (1, 2, 3)]
+        print(f"[fenced-diag] totals over {len(diag)} layers: "
+              f"advance+gather {tot[0]:.1f}s target-build {tot[1]:.1f}s "
+              f"fused-solve {tot[2]:.1f}s (fenced run — the async pass "
+              f"overlaps these with host bookkeeping)")
     return g_out, p_out, dev_run
 
 
