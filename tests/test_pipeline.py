@@ -160,6 +160,25 @@ def test_pipelined_pass_matches_sequential(setup):
         np.testing.assert_allclose(pr.rmse_after, sr.rmse_after, rtol=1e-4)
 
 
+def test_pipelined_pass_fenced_diag(setup, monkeypatch, capsys):
+    """CP_TPU_PHASE_TIMING attribution in the pipelined pass: the fences
+    must not change selections, and per-layer + totals lines must print."""
+    g, params, inputs, cfg, cache = setup
+    targets = {"conv1_1": 5, "conv1_2": 6}
+    cfg2 = cfg.replace_nested("solve.band", "bottom")
+    base = c3.solve_prune(g, params, cache, cfg2, channel_targets=targets,
+                          verbose=False)
+    monkeypatch.setattr(c3, "_PHASE_TIMING", True)
+    fenced = c3.solve_prune(g, params, cache, cfg2, channel_targets=targets,
+                            verbose=False)
+    out = capsys.readouterr().out
+    assert "[fenced-diag] totals over" in out
+    assert "fused-solve" in out
+    for name in base.selections:
+        np.testing.assert_array_equal(fenced.selections[name],
+                                      base.selections[name])
+
+
 def test_select_and_reconstruct_pad_to_inert():
     """`pad_to` (the shared fused-solve bucket the 3C pruning arm uses)
     must not change the selection, and the reconstruction must agree to fp

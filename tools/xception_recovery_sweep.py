@@ -109,8 +109,8 @@ def main():
     rows = []
     for name, extra in configs.items():
         wd = work / name
-        rec_pt = wd / "ft_cp_tiny_xception.prototxt"
-        rec_w = wd / "ft_cp_tiny_xception.caffemodel"
+        rec_pt = wd / "ft_tiny_xception.prototxt"
+        rec_w = wd / "ft_tiny_xception.caffemodel"
         if not rec_w.exists():
             cli.main(["finetune", "--prototxt", str(pruned_pt), "--weights",
                       str(pruned_w), "--data-dir", str(train_dir),
