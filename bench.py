@@ -303,6 +303,14 @@ def main():
 
     from channel_pruning_tpu.utils.runtime import enable_compilation_cache
     enable_compilation_cache()
+    # tunnel-health stamp: a trivial put+sum wall. Healthy ~0.5 s; after a
+    # relay-worker crash fresh processes pay 100 s+ for hours (BENCH_NOTES) —
+    # this field tells the reader whether the walls below are link-limited
+    import jax as _jax
+    import jax.numpy as _jnp
+    t0 = time.perf_counter()
+    float(_jnp.sum(_jax.device_put(np.ones(8, np.float32))))
+    first_transfer_s = round(time.perf_counter() - t0, 2)
     X, W2, Y, rank = make_problem()
     stats, dev_keep, dev_err, dev_mask = device_solve(X, W2, Y, rank)
     fwd = forward_mfu()
@@ -322,6 +330,7 @@ def main():
         "unit": "ms",
         "vs_baseline": round(sk_t / dev_t, 2),
         "detail": {
+            "tunnel_first_transfer_s": first_transfer_s,
             "layer_shape": "conv3_1-scale N=50000 c=256 n=512 k=3",
             "baseline_protocol": {
                 "algo": "sklearn Lasso bisection + LinearRegression(n_jobs=1)",
