@@ -14,6 +14,7 @@ with a pure function: sampling is "run forward, gather from captures".
 from __future__ import annotations
 
 import functools
+import zlib
 from typing import Any, Mapping, Sequence
 
 import jax
@@ -150,7 +151,10 @@ def compute_layer(l: Layer, env: dict[str, jax.Array], params: Params,
         if train and rng is not None:
             ratio = float(l.attr("dropout_ratio", 0.5))
             keep = 1.0 - ratio
-            mask = jax.random.bernoulli(jax.random.fold_in(rng, hash(l.name) % (2**31)),
+            # crc32, NOT hash(): Python string hashing is salted per process,
+            # which made seeded finetune losses irreproducible across runs
+            salt = zlib.crc32(l.name.encode()) & 0x7FFFFFFF
+            mask = jax.random.bernoulli(jax.random.fold_in(rng, salt),
                                         keep, x.shape)
             env[top] = jnp.where(mask, x / keep, 0.0)
         else:

@@ -453,7 +453,19 @@ def _pipelined_conv_pass(g_run: Graph, p_run, dev_run, g_out, p_out,
         from channel_pruning_tpu.parallel import mesh as mesh_mod
         row_sharded = mesh_mod.batch_sharded(mesh)
 
+    # prefetch every layer's ground-truth features NOW: device_put is async,
+    # so the tunnel streams these h2d transfers behind the first layers'
+    # frontier compute instead of each upload stalling its layer's dispatch
+    # (BENCH_NOTES: first-layer costs included the serial gt-feature uploads)
     feats_dev: dict[str, jnp.ndarray] = {}
+    for _, consumer, _, _, _ in items:
+        top = g_run.layer(consumer).tops[0]
+        e_top, _ = (_residual_context(g_run, top) if residual_compensate
+                    else (None, ()))
+        t = e_top if (e_top is not None and e_top in cache.feats) else top
+        if t not in feats_dev and t in cache.feats:
+            feats_dev[t] = runtime.chunked_device_put(
+                np.asarray(cache.feats[t], np.float32))
     pending: collections.deque = collections.deque()
 
     def drain_one():

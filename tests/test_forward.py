@@ -99,3 +99,34 @@ def test_select_layer(rng):
     x = rng.normal(size=(1, 6, 4, 4)).astype(np.float32)
     outs, _ = run_graph(g, {}, {"data": x})
     np.testing.assert_allclose(np.asarray(outs["sel"]), x[:, [1, 3, 4]], rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_dropout_mask_reproducible_across_processes():
+    """Dropout layer salts its PRNG fold_in with crc32(name), NOT hash():
+    Python string hashing is randomized per process, which made seeded
+    training losses irreproducible across runs (found via varying
+    dryrun_multichip train-step losses)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    prog = (
+        "import jax; jax.config.update('jax_platforms','cpu');\n"
+        "import json, numpy as np\n"
+        "from channel_pruning_tpu.graph.ir import Graph, Layer, LT, TensorSpec\n"
+        "from channel_pruning_tpu.ops.forward import run_graph\n"
+        "g = Graph('d', (TensorSpec('data', (2, 8, 4, 4)),),\n"
+        "          (Layer.make('drop', LT.DROPOUT, ['data'], dropout_ratio=0.5),))\n"
+        "x = np.random.default_rng(0).normal(size=(2, 8, 4, 4)).astype(np.float32)\n"
+        "outs, _ = run_graph(g, {}, {'data': x}, train=True,\n"
+        "                    rng=jax.random.PRNGKey(7))\n"
+        "print(json.dumps(float(np.asarray(outs['drop']).sum())))\n")
+    sums = []
+    for seed in ("1", "2"):
+        env = dict(os.environ, PYTHONHASHSEED=seed, JAX_PLATFORMS="cpu")
+        out = subprocess.run([sys.executable, "-c", prog], env=env,
+                             capture_output=True, text=True, check=True)
+        sums.append(json.loads(out.stdout.strip().splitlines()[-1]))
+    assert sums[0] == sums[1], sums
