@@ -314,7 +314,14 @@ def main():
     X, W2, Y, rank = make_problem()
     stats, dev_keep, dev_err, dev_mask = device_solve(X, W2, Y, rank)
     fwd = forward_mfu()
-    pipe = pipeline_solve_stats()
+    # the whole-model pipeline context is only meaningful on a healthy link
+    # (a degraded tunnel turns its freeze+solve into minutes of relay stalls
+    # that say nothing about the solver) — skip it and say so
+    if first_transfer_s <= 30.0:
+        pipe = pipeline_solve_stats()
+    else:
+        pipe = {"skipped": f"degraded link (first transfer "
+                           f"{first_transfer_s}s; healthy ~0.5s)"}
     load_before = os.getloadavg()
     sk_t, sk_keep, sk_err, sk_mask = sklearn_solve(X, W2, Y, rank)
     iou = float((dev_mask & sk_mask).sum() / max((dev_mask | sk_mask).sum(), 1))
