@@ -273,12 +273,12 @@ def _maybe_rolling(g_run: Graph, cache: sampling.FrozenCache,
     if rolling_mod.is_chain(g_run):
         if rolling_mod.estimate_peak_bytes(g_run, n_images) > hbm_budget:
             return None
-        return rolling_mod.RollingReplay(g_run, cache.inputs,
+        return rolling_mod.RollingReplay(g_run, cache.device_inputs(),
                                          compute_dtype=compute_dtype,
                                          mesh=mesh)
     if rolling_mod.estimate_cut_bytes(g_run, n_images) > hbm_budget:
         return None
-    return rolling_mod.RollingReplayDAG(g_run, cache.inputs,
+    return rolling_mod.RollingReplayDAG(g_run, cache.device_inputs(),
                                         compute_dtype=compute_dtype,
                                         mesh=mesh)
 
@@ -748,7 +748,7 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                 print(f"[rolling] fallback for {consumer}: {exc}")
                 frontier_fallbacks.append(consumer)
         if X is None:
-            X = sampling.sample_patches(g_run, dev_run, cache.inputs, consumer,
+            X = sampling.sample_patches(g_run, dev_run, cache.device_inputs(), consumer,
                                         cache.plan, chunk_batches=chunk,
                                         compute_dtype=cdt, mesh=mesh)
         top = g_run.layer(consumer).tops[0]
@@ -772,7 +772,7 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                     print(f"[rolling] features fallback for {consumer}: {exc}")
                     frontier_fallbacks.append(f"{consumer}(features)")
             if cur is None:
-                cur = sampling.sample_features(g_run, dev_run, cache.inputs,
+                cur = sampling.sample_features(g_run, dev_run, cache.device_inputs(),
                                                cache.plan, others,
                                                chunk_batches=chunk,
                                                compute_dtype=cdt, mesh=mesh)
@@ -844,7 +844,7 @@ def solve_prune(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
             if target is None:
                 continue
             timer.tic()
-            dense = sampling.sample_dense(g_run, dev_run, cache.inputs,
+            dense = sampling.sample_dense(g_run, dev_run, cache.device_inputs(),
                                           (bottom,), chunk_batches=chunk)[bottom]
             # FC weight (out, C*H*W) reshaped to channel-major (out, C, H, W)
             Wfc = np.asarray(p_run[fc]["W"], np.float32)
@@ -1029,7 +1029,7 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                 print(f"[rolling] fallback for {conv}: {exc}")
                 frontier_fallbacks.append(conv)
         if X is None:
-            X = sampling.sample_patches(g_run, dev_run, cache.inputs, conv,
+            X = sampling.sample_patches(g_run, dev_run, cache.device_inputs(), conv,
                                         cache.plan, chunk_batches=chunk,
                                         compute_dtype=cdt, mesh=mesh)
         if mesh is not None and mesh.devices.size > 1 and \
@@ -1165,7 +1165,7 @@ def solve_3c(graph: Graph, params: Mapping[str, Mapping[str, np.ndarray]],
                     print(f"[rolling] fallback for {convnext}: {exc}")
                     frontier_fallbacks.append(convnext)
             if Xn is None:
-                Xn = sampling.sample_patches(g_run, dev_run, cache.inputs,
+                Xn = sampling.sample_patches(g_run, dev_run, cache.device_inputs(),
                                              convnext, cache.plan,
                                              chunk_batches=chunk,
                                              compute_dtype=cdt, mesh=mesh)

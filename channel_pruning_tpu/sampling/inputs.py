@@ -92,10 +92,13 @@ class SyntheticInputs:
 
 def device_chunk(inputs, lo: int, hi: int) -> jax.Array:
     """Flat ((hi-lo)*bs, C, H, W) device slice of a calibration source —
-    generated in HBM for SyntheticInputs, uploaded (chunked against the
-    tunnel's first-transfer pathology) for host arrays."""
+    generated in HBM for SyntheticInputs, sliced device-side for an already
+    HBM-resident (jax.Array) source, uploaded (chunked against the tunnel's
+    first-transfer pathology) for host arrays."""
     if isinstance(inputs, SyntheticInputs):
         return inputs.device_chunk(lo, hi)
+    if isinstance(inputs, jax.Array):
+        return inputs[lo:hi].reshape((-1,) + tuple(inputs.shape[2:]))
     from channel_pruning_tpu.utils.runtime import chunked_device_put
 
     return chunked_device_put(

@@ -27,6 +27,7 @@ assigned the same `share_key` in the plan.
 from __future__ import annotations
 
 import functools
+import dataclasses
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Callable, Mapping, Sequence
@@ -382,6 +383,24 @@ class FrozenCache:
     plan: dict[str, tuple[np.ndarray, np.ndarray]]       # tensor -> (ys, xs)
     feats: dict[str, np.ndarray]                         # tensor -> sampled rows
     labels: np.ndarray | None = None                     # (n_batches, bs) int
+    # HBM-resident copy of `inputs`, memoized by device_inputs(); never
+    # serialized (save() writes the host array / synthetic spec only)
+    inputs_dev: "jax.Array | None" = dataclasses.field(
+        default=None, repr=False, compare=False)
+
+    def device_inputs(self):
+        """Device-resident calibration source for replay/sampling. The
+        per-layer samplers (sample_patches/sample_features/sample_dense)
+        slice whatever source they're given per chunk; handing them the host
+        array re-uploads the WHOLE calibration set once per layer (a 3C
+        VGG-16 solve paid that ~24x: ~7 GB of h2d for a 300 MB set). One
+        chunked upload, memoized — device_chunk slices it in HBM."""
+        if isinstance(self.inputs, SyntheticInputs):
+            return self.inputs  # generated straight into HBM on demand
+        if self.inputs_dev is None:
+            from channel_pruning_tpu.utils.runtime import chunked_device_put
+            self.inputs_dev = chunked_device_put(np.asarray(self.inputs))
+        return self.inputs_dev
 
     @property
     def batch_size(self) -> int:
@@ -506,12 +525,23 @@ def freeze(graph: Graph, params, inputs: np.ndarray, *, tensors: Sequence[str] |
     # capture sets (fitfc off on FC-heavy nets) take the grouped path.
     covers_full = (len(graph.ancestors_subgraph(tuple(tensors)).layers)
                    == len(graph.layers))
-    feats = sample_features(graph, params, inputs, plan, tensors,
+    # single-device: upload the calibration set ONCE and sample from HBM
+    # slices; the returned cache memoizes the same copy, so an in-process
+    # freeze->solve chain never re-uploads it (with a mesh the chunks are
+    # batch-sharded at upload instead — keep that placement)
+    inputs_dev = None
+    replay_src = inputs
+    if (mesh is None or getattr(mesh, "devices", np.empty(1)).size <= 1) \
+            and not isinstance(inputs, SyntheticInputs):
+        inputs_dev = chunked_device_put(np.asarray(inputs))
+        replay_src = inputs_dev
+    feats = sample_features(graph, params, replay_src, plan, tensors,
                             chunk_batches=chunk_batches, mesh=mesh,
                             fuse=covers_full)
     if not isinstance(inputs, SyntheticInputs):
         inputs = np.asarray(inputs)
-    return FrozenCache(inputs=inputs, plan=plan, feats=feats, labels=labels)
+    return FrozenCache(inputs=inputs, plan=plan, feats=feats, labels=labels,
+                       inputs_dev=inputs_dev)
 
 
 # ---------------------------------------------------------------------------

@@ -149,3 +149,32 @@ def test_freeze_parity_synthetic_vs_host(tiny):
         assert c2.n_batches == 6 and c2.batch_size == 4
         np.testing.assert_array_equal(
             c2.inputs.host(), s.host())
+
+
+def test_device_resident_inputs_bit_identical(tiny):
+    """device_inputs(): sampling from the memoized HBM-resident calibration
+    copy (one upload, device-side slices) must be BIT-identical to sampling
+    from the host array (per-layer chunk re-uploads) — for both the patch
+    and the feature samplers — and freeze() must stash the memo."""
+    import jax
+
+    g, dparams, _ = tiny
+    inputs = _calib()
+    cache = freeze(g, dparams, inputs, n_points=3, seed=0, chunk_batches=3)
+    assert isinstance(cache.inputs_dev, jax.Array)
+    dev = cache.device_inputs()
+    assert dev is cache.inputs_dev  # memoized, not re-uploaded
+    X_host = sample_patches(g, dparams, inputs, "conv2_1", cache.plan,
+                            chunk_batches=3)
+    X_dev = sample_patches(g, dparams, dev, "conv2_1", cache.plan,
+                           chunk_batches=3)
+    np.testing.assert_array_equal(np.asarray(X_host), np.asarray(X_dev))
+    f_host = sample_features(g, dparams, inputs, cache.plan, ("conv2_1",),
+                             chunk_batches=3)
+    f_dev = sample_features(g, dparams, dev, cache.plan, ("conv2_1",),
+                            chunk_batches=3)
+    np.testing.assert_array_equal(f_host["conv2_1"], f_dev["conv2_1"])
+    # the loaded-from-disk cache (no memo) lazily uploads on first use
+    cache2 = FrozenCache(inputs=inputs, plan=cache.plan, feats=cache.feats)
+    assert cache2.inputs_dev is None
+    assert isinstance(cache2.device_inputs(), jax.Array)
