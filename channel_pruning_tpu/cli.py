@@ -598,8 +598,6 @@ def cmd_verify_release(args):
 
 
 def main(argv=None):
-    from channel_pruning_tpu.utils.runtime import enable_compilation_cache
-    enable_compilation_cache()
     parser = argparse.ArgumentParser(prog="channel_pruning_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
@@ -732,6 +730,10 @@ def main(argv=None):
     if getattr(args, "platform", None):
         import jax
         jax.config.update("jax_platforms", args.platform)
+    # AFTER platform selection: the cache is skipped on CPU backends (stale
+    # cross-host AOT entries execute illegal instructions — runtime.py)
+    from channel_pruning_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
     wdog = None
     if argv is None and getattr(args, "platform", None) != "cpu":
         # hang detection for tunneled-TPU runs (see runtime.Watchdog)

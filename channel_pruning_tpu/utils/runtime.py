@@ -8,9 +8,28 @@ def enable_compilation_cache(path: str | None = None) -> None:
     """Persist XLA compilations across processes. Each per-layer extraction
     program costs ~20-40 s to compile through the remote-compile tunnel; the
     cache makes repeat runs (re-entry after a crash, bench iterations) pay it
-    once."""
+    once.
+
+    CPU backends are excluded: XLA:CPU caches AOT machine code keyed without
+    the host's CPU features, so a cache dir carried to a different host (this
+    workspace migrates between machines across rounds) loads AVX512/AMX code
+    the new host lacks — observed as flaky SIGABRT/SIGILL deep inside jitted
+    CPU programs ("Machine type used for XLA:CPU compilation doesn't match
+    the machine type for execution"). CPU compiles are seconds, not the
+    20-40 s tunnel compiles the cache exists for — skip them entirely."""
     import jax
 
+    # platform from config/env WITHOUT initializing a backend (cli.main
+    # calls this; probing jax.default_backend() here would pin the default
+    # platform before --platform is applied)
+    plat = ""
+    try:
+        plat = jax.config.jax_platforms or ""
+    except Exception:
+        pass
+    plat = plat or os.environ.get("JAX_PLATFORMS", "")
+    if plat.split(",")[0].strip().lower() == "cpu":
+        return
     cache_dir = path or os.environ.get("CP_TPU_CACHE",
                                        "/tmp/cp_tpu_jax_cache")
     try:
